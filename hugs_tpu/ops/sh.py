@@ -1,0 +1,82 @@
+"""Real spherical harmonics evaluation for Gaussian-splat view-dependent color.
+
+Semantics match the reference's eval_sh (hugs/utils/spherical_harmonics.py:61-125)
+for degrees 0..3 (the 3DGS color path): given SH coefficients laid out
+(..., C, (deg+1)^2) and unit view directions (..., 3), return colors (..., C).
+Hard-coded real-SH constants (standard in the 3DGS literature).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+C0 = 0.28209479177387814
+C1 = 0.4886025119029199
+C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+      -1.0925484305920792, 0.5462742152960396)
+C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+      0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+      -0.5900435899266435)
+
+
+def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate SH at unit directions.
+
+    Args:
+      deg: 0..3 (static python int — selects how many bands contribute).
+      sh: (..., C, (deg+1)^2) coefficients.
+      dirs: (..., 3) unit directions (broadcastable against sh's batch dims).
+
+    Returns:
+      (..., C) channel values (NOT clamped; caller adds 0.5 per 3DGS).
+    """
+    assert 0 <= deg <= 3
+    result = C0 * sh[..., 0]
+    if deg >= 1:
+        x, y, z = dirs[..., 0:1], dirs[..., 1:2], dirs[..., 2:3]
+        result = (result
+                  - C1 * y * sh[..., 1]
+                  + C1 * z * sh[..., 2]
+                  - C1 * x * sh[..., 3])
+        if deg >= 2:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            result = (result
+                      + C2[0] * xy * sh[..., 4]
+                      + C2[1] * yz * sh[..., 5]
+                      + C2[2] * (2.0 * zz - xx - yy) * sh[..., 6]
+                      + C2[3] * xz * sh[..., 7]
+                      + C2[4] * (xx - yy) * sh[..., 8])
+            if deg >= 3:
+                result = (result
+                          + C3[0] * y * (3 * xx - yy) * sh[..., 9]
+                          + C3[1] * xy * z * sh[..., 10]
+                          + C3[2] * y * (4 * zz - xx - yy) * sh[..., 11]
+                          + C3[3] * z * (2 * zz - 3 * xx - 3 * yy) * sh[..., 12]
+                          + C3[4] * x * (4 * zz - xx - yy) * sh[..., 13]
+                          + C3[5] * z * (xx - yy) * sh[..., 14]
+                          + C3[6] * x * (xx - 3 * yy) * sh[..., 15])
+    return result
+
+
+def eval_sh_masked(max_deg: int, active_deg: jnp.ndarray, sh: jnp.ndarray,
+                   dirs: jnp.ndarray) -> jnp.ndarray:
+    """eval_sh where the active degree is a traced scalar.
+
+    Evaluates all bands up to the static max_deg but zero-masks bands above
+    active_deg, so the SH-degree ramp (reference oneupSHdegree,
+    hugs/models/scene.py:162-164) needs no recompilation.
+    """
+    n = (max_deg + 1) ** 2
+    band = jnp.sqrt(jnp.arange(n, dtype=jnp.float32)).astype(jnp.int32)
+    mask = (band <= active_deg).astype(sh.dtype)
+    return eval_sh(max_deg, sh * mask, dirs)
+
+
+def rgb_to_sh(rgb: jnp.ndarray) -> jnp.ndarray:
+    """RGB in [0,1] -> DC SH coefficient (reference RGB2SH)."""
+    return (rgb - 0.5) / C0
+
+
+def sh_to_rgb(sh: jnp.ndarray) -> jnp.ndarray:
+    """DC SH coefficient -> RGB (reference SH2RGB)."""
+    return sh * C0 + 0.5

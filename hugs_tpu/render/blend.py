@@ -1,0 +1,81 @@
+"""Tiled alpha-blend compositing, pure JAX (XLA) backend.
+
+The TPU-shaped formulation of front-to-back splat blending: instead of the
+CUDA kernel's per-pixel sequential loop with early-out, each tile computes
+a dense (K, P) alpha matrix (K = per-tile Gaussian capacity, P = pixels),
+takes an exclusive log-space cumsum along K for transmittance, and
+contracts colors against the weight matrix with a matmul (MXU). Fully
+differentiable via AD; the Pallas backend (pallas_blend.py) implements the
+same math with explicit chunking + custom VJP.
+
+Per-tile Gaussian lists come sorted front-to-back from tiles.bin_gaussians.
+Tiles whose instance count exceeds the static per-tile capacity are
+truncated (farthest Gaussians dropped) — capacity is sized so this is rare
+and detectable (`overflow` output).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hugs_tpu.render.oracle import gaussian_alpha
+from hugs_tpu.render.project import ProjectedGaussians
+from hugs_tpu.render.tiles import TileBins, TILE, tile_grid
+
+
+def blend_tiles(pg: ProjectedGaussians, bins: TileBins, width: int,
+                height: int, bg: jnp.ndarray, tile_cap: int,
+                tile: int = TILE, tiles_per_batch: int = 16) -> jnp.ndarray:
+    """Composite all tiles. Returns (3, H, W) in [0, 1]."""
+    nx, ny = tile_grid(width, height, tile)
+    num_tiles = nx * ny
+    P = tile * tile
+
+    opac = jnp.where(pg.mask, pg.opacity, 0.0)
+
+    def one_tile(t):
+        start = bins.starts[t]
+        count = bins.ends[t] - start
+        k = jnp.arange(tile_cap, dtype=jnp.int32)
+        inst = jax.lax.dynamic_slice_in_dim(bins.gauss_id, start, tile_cap)
+        live = k < count
+        gi = jnp.where(live, inst, 0)
+
+        mean2d = pg.mean2d[gi]
+        conic = pg.conic[gi]
+        rgb = pg.rgb[gi]
+        a_op = jnp.where(live, opac[gi], 0.0)
+
+        ty, tx = t // nx, t % nx
+        px = (tx * tile + jnp.arange(tile)).astype(jnp.float32)
+        py = (ty * tile + jnp.arange(tile)).astype(jnp.float32)
+        pxx, pyy = jnp.meshgrid(px, py)                  # (tile, tile)
+        pxf, pyf = pxx.ravel(), pyy.ravel()              # (P,)
+
+        alpha = gaussian_alpha(mean2d[:, None, :], conic[:, None, :],
+                               a_op[:, None], pxf[None, :], pyf[None, :],
+                               radius=pg.radius[gi][:, None])
+        log_t = jnp.cumsum(jnp.log1p(-alpha), axis=0)
+        trans = jnp.exp(jnp.concatenate(
+            [jnp.zeros((1, P), alpha.dtype), log_t[:-1]], axis=0))
+        wmat = alpha * trans                              # (K, P)
+        color = rgb.T @ wmat + bg[:, None] * jnp.exp(log_t[-1])[None, :]
+        return color                                      # (3, P)
+
+    def batch_fn(ts):
+        return jax.vmap(one_tile)(ts)
+
+    pad_tiles = (-num_tiles) % tiles_per_batch
+    all_t = jnp.arange(num_tiles + pad_tiles, dtype=jnp.int32) % num_tiles
+    tiled = jax.lax.map(batch_fn, all_t.reshape(-1, tiles_per_batch))
+    tiled = tiled.reshape(-1, 3, tile, tile)[:num_tiles]  # (T, 3, th, tw)
+
+    # Assemble tiles into the padded image, then crop.
+    img = tiled.reshape(ny, nx, 3, tile, tile)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(3, ny * tile, nx * tile)
+    return jnp.clip(img[:, :height, :width], 0.0, 1.0)
+
+
+def tile_overflow(bins: TileBins, tile_cap: int) -> jnp.ndarray:
+    """True if any tile's instance list was truncated by tile_cap."""
+    return jnp.max(bins.ends - bins.starts) > tile_cap

@@ -1,0 +1,162 @@
+"""Public rendering API.
+
+Behavioral equivalent of the reference renderer entry points
+(hugs/renderer/gs_renderer.py:20-161): `render` takes flat Gaussian
+attributes + camera and returns {render, radii, visibility_filter, ...};
+`render_human_scene` merges the human and scene Gaussian sets (human
+first, as the reference's visibility-slice bookkeeping assumes,
+gs_renderer.py:32-38,84-98) into one depth-sorted blend.
+
+Differences from the reference, by design (TPU-first):
+  - static shapes everywhere: inputs may carry an `alive` capacity mask;
+    culled/dead Gaussians simply render with radius 0.
+  - screen-space densification gradients are exposed functionally: pass a
+    zeros (N, 2) `mean2d_grad_hook`; d(loss)/d(hook) IS the viewspace
+    gradient the densifier wants (no .retain_grad() mutation trick).
+  - backend='oracle' | 'tiled' (XLA) | 'pallas' (TPU kernel).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from hugs_tpu.render.camera import Camera
+from hugs_tpu.render.project import project_gaussians
+from hugs_tpu.render.tiles import bin_gaussians, TILE
+from hugs_tpu.render.blend import blend_tiles
+from hugs_tpu.render.oracle import render_oracle
+
+
+def render(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotq: jnp.ndarray,
+    opacity: jnp.ndarray,
+    shs: jnp.ndarray,
+    camera: Camera,
+    width: int,
+    height: int,
+    bg: jnp.ndarray | None = None,
+    active_sh_degree: jnp.ndarray | int = 0,
+    scaling_modifier: float = 1.0,
+    alive: jnp.ndarray | None = None,
+    mean2d_grad_hook: jnp.ndarray | None = None,
+    backend: str = "tiled",
+    instance_budget: int | None = None,
+    tile_cap: int = 1024,
+    tile: int = TILE,
+) -> dict[str, Any]:
+    """Render one view. Returns dict with 'render' (3, H, W), 'radii' (N,),
+    'visibility_filter' (N,) bool, 'overflowed' (scalar bool diagnostics).
+    """
+    if bg is None:
+        bg = jnp.zeros(3, jnp.float32)
+    pg = project_gaussians(means3d, scales, rotq, opacity, shs, camera,
+                           width, height, active_sh_degree, scaling_modifier,
+                           alive=alive)
+    if mean2d_grad_hook is not None:
+        pg = pg._replace(mean2d=pg.mean2d + mean2d_grad_hook)
+
+    if backend == "oracle":
+        img = render_oracle(pg, width, height, bg).transpose(2, 0, 1)
+        overflowed = jnp.bool_(False)
+    elif backend in ("tiled", "pallas"):
+        n = means3d.shape[0]
+        budget = instance_budget or max(4 * n, 1 << 16)
+        bins = bin_gaussians(pg, width, height, budget, tile)
+        if backend == "pallas":
+            from hugs_tpu.render.pallas_blend import blend_tiles_pallas
+            img = blend_tiles_pallas(pg, bins, width, height, bg, tile)
+        else:
+            img = blend_tiles(pg, bins, width, height, bg, tile_cap, tile)
+        overflowed = bins.overflowed
+    else:
+        raise ValueError(f"unknown backend: {backend}")
+
+    return {
+        "render": img,
+        "radii": pg.radius,
+        "visibility_filter": pg.mask & (pg.radius > 0),
+        "overflowed": overflowed,
+    }
+
+
+def render_human_scene(
+    data: dict[str, Any],
+    human_gs_out: dict[str, Any] | None,
+    scene_gs_out: dict[str, Any] | None,
+    bg_color: jnp.ndarray,
+    human_bg_color: jnp.ndarray | None = None,
+    scaling_modifier: float = 1.0,
+    render_mode: str = "human_scene",
+    render_human_separate: bool = False,
+    backend: str = "tiled",
+    **render_kw,
+) -> dict[str, Any]:
+    """Merged human+scene rendering, mirroring the reference semantics
+    (gs_renderer.py:20-100). `data` carries the camera and image size:
+    {'camera': Camera, 'width': int, 'height': int}.
+    """
+    camera: Camera = data["camera"]
+    width, height = data["width"], data["height"]
+
+    def cat(key):
+        return jnp.concatenate([human_gs_out[key], scene_gs_out[key]], axis=0)
+
+    if render_mode == "human_scene":
+        attrs = {k: cat(k) for k in ("xyz", "scales", "rotq", "shs", "opacity")}
+        alive = None
+        if "alive" in human_gs_out or "alive" in scene_gs_out:
+            ha = human_gs_out.get(
+                "alive", jnp.ones(human_gs_out["xyz"].shape[0], bool))
+            sa = scene_gs_out.get(
+                "alive", jnp.ones(scene_gs_out["xyz"].shape[0], bool))
+            alive = jnp.concatenate([ha, sa])
+        sh_deg = human_gs_out["active_sh_degree"]
+    elif render_mode == "human":
+        attrs = {k: human_gs_out[k] for k in ("xyz", "scales", "rotq", "shs", "opacity")}
+        alive = human_gs_out.get("alive")
+        sh_deg = human_gs_out["active_sh_degree"]
+    elif render_mode == "scene":
+        attrs = {k: scene_gs_out[k] for k in ("xyz", "scales", "rotq", "shs", "opacity")}
+        alive = scene_gs_out.get("alive")
+        sh_deg = scene_gs_out["active_sh_degree"]
+    else:
+        raise ValueError(f"Unknown render mode: {render_mode}")
+
+    pkg = render(attrs["xyz"], attrs["scales"], attrs["rotq"],
+                 attrs["opacity"], attrs["shs"], camera, width, height,
+                 bg=bg_color, active_sh_degree=sh_deg,
+                 scaling_modifier=scaling_modifier, alive=alive,
+                 backend=backend, **render_kw)
+
+    if render_human_separate and render_mode == "human_scene":
+        hpkg = render(human_gs_out["xyz"], human_gs_out["scales"],
+                      human_gs_out["rotq"], human_gs_out["opacity"],
+                      human_gs_out["shs"], camera, width, height,
+                      bg=(human_bg_color if human_bg_color is not None else bg_color),
+                      active_sh_degree=human_gs_out["active_sh_degree"],
+                      scaling_modifier=scaling_modifier,
+                      alive=human_gs_out.get("alive"),
+                      backend=backend, **render_kw)
+        pkg["human_img"] = hpkg["render"]
+        pkg["human_visibility_filter"] = hpkg["visibility_filter"]
+        pkg["human_radii"] = hpkg["radii"]
+
+    if render_mode == "human":
+        pkg["human_visibility_filter"] = pkg["visibility_filter"]
+        pkg["human_radii"] = pkg["radii"]
+    elif render_mode == "human_scene":
+        n_h = human_gs_out["xyz"].shape[0]
+        pkg["scene_visibility_filter"] = pkg["visibility_filter"][n_h:]
+        pkg["scene_radii"] = pkg["radii"][n_h:]
+        if "human_visibility_filter" not in pkg:
+            pkg["human_visibility_filter"] = pkg["visibility_filter"][:n_h]
+            pkg["human_radii"] = pkg["radii"][:n_h]
+    elif render_mode == "scene":
+        pkg["scene_visibility_filter"] = pkg["visibility_filter"]
+        pkg["scene_radii"] = pkg["radii"]
+    return pkg

@@ -1,0 +1,116 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hugs_tpu.render import render, make_camera
+from hugs_tpu.render.project import project_gaussians
+from hugs_tpu.render.tiles import bin_gaussians, tile_spans
+
+
+W, H = 64, 48
+FOVX, FOVY = 0.9, 0.7
+
+
+def make_scene(n=300, seed=0):
+    """Random Gaussian cloud in front of a camera at origin looking +z."""
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 5)
+    means = jax.random.uniform(ks[0], (n, 3), minval=-1.0, maxval=1.0)
+    means = means.at[:, 2].set(means[:, 2] * 2.0 + 4.0)  # z in [2, 6]
+    scales = jnp.exp(jax.random.normal(ks[1], (n, 3)) * 0.3 - 2.5)
+    rotq = jax.random.normal(ks[2], (n, 4))
+    rotq = rotq / jnp.linalg.norm(rotq, axis=-1, keepdims=True)
+    opacity = jax.nn.sigmoid(jax.random.normal(ks[3], (n,)))
+    shs = jax.random.normal(ks[4], (n, 16, 3)) * 0.3
+    cam = make_camera(jnp.eye(3), jnp.zeros(3), FOVX, FOVY)
+    return means, scales, rotq, opacity, shs, cam
+
+
+def test_projection_sane():
+    means, scales, rotq, opacity, shs, cam = make_scene()
+    pg = project_gaussians(means, scales, rotq, opacity, shs, cam, W, H,
+                           active_sh_degree=3)
+    assert bool(jnp.any(pg.mask))
+    assert np.all(np.isfinite(np.asarray(pg.mean2d)))
+    assert np.all(np.asarray(pg.depth)[np.asarray(pg.mask)] > 0)
+    # center-ish gaussian should project near image center
+    c = project_gaussians(jnp.array([[0.0, 0.0, 4.0]]), scales[:1], rotq[:1],
+                          opacity[:1], shs[:1], cam, W, H)
+    np.testing.assert_allclose(c.mean2d[0], [(W - 1) / 2, (H - 1) / 2], atol=0.5)
+
+
+def test_binning_covers_visible():
+    means, scales, rotq, opacity, shs, cam = make_scene()
+    pg = project_gaussians(means, scales, rotq, opacity, shs, cam, W, H)
+    bins = bin_gaussians(pg, W, H, budget=8192)
+    assert not bool(bins.overflowed)
+    # every visible gaussian appears in at least one tile list
+    n_inst = int(bins.n_instances)
+    listed = set(np.asarray(bins.gauss_id[:n_inst]).tolist())
+    _, _, w, h, _, _ = tile_spans(pg, W, H)
+    expect = set(np.nonzero(np.asarray(pg.mask & (w * h > 0)))[0].tolist())
+    assert expect <= listed
+    # per-tile depth ordering
+    tid = np.asarray(bins.tile_id[:n_inst])
+    dep = np.asarray(pg.depth)[np.asarray(bins.gauss_id[:n_inst])]
+    for t in np.unique(tid):
+        d = dep[tid == t]
+        assert (np.diff(d) >= -1e-6).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_tiled_matches_oracle(seed):
+    means, scales, rotq, opacity, shs, cam = make_scene(seed=seed)
+    bg = jnp.array([0.2, 0.3, 0.4])
+    kw = dict(camera=cam, width=W, height=H, bg=bg, active_sh_degree=3)
+    img_o = render(means, scales, rotq, opacity, shs, backend="oracle", **kw)["render"]
+    img_t = render(means, scales, rotq, opacity, shs, backend="tiled",
+                   tile_cap=512, **kw)["render"]
+    assert img_o.shape == (3, H, W)
+    np.testing.assert_allclose(img_t, img_o, atol=2e-5)
+
+
+def test_gradients_match_oracle():
+    means, scales, rotq, opacity, shs, cam = make_scene(n=100)
+    bg = jnp.zeros(3)
+    target = jax.random.uniform(jax.random.PRNGKey(9), (3, H, W))
+
+    def loss(backend, m, s, q, o, c):
+        img = render(m, s, q, o, c, camera=cam, width=W, height=H, bg=bg,
+                     active_sh_degree=3, backend=backend, tile_cap=256)["render"]
+        return jnp.mean((img - target) ** 2)
+
+    go = jax.grad(lambda *a: loss("oracle", *a), argnums=(0, 1, 2, 3, 4))(
+        means, scales, rotq, opacity, shs)
+    gt = jax.grad(lambda *a: loss("tiled", *a), argnums=(0, 1, 2, 3, 4))(
+        means, scales, rotq, opacity, shs)
+    for a, b in zip(go, gt):
+        assert np.all(np.isfinite(np.asarray(a)))
+        np.testing.assert_allclose(b, a, atol=5e-5, rtol=1e-3)
+
+
+def test_mean2d_grad_hook():
+    means, scales, rotq, opacity, shs, cam = make_scene(n=50)
+    hook = jnp.zeros((50, 2))
+
+    def loss(hk):
+        img = render(means, scales, rotq, opacity, shs, camera=cam,
+                     width=W, height=H, active_sh_degree=0,
+                     mean2d_grad_hook=hk, backend="tiled", tile_cap=256)["render"]
+        return jnp.sum(img ** 2)
+
+    g = jax.grad(loss)(hook)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_alive_mask_culls():
+    means, scales, rotq, opacity, shs, cam = make_scene(n=50)
+    alive = jnp.zeros(50, bool)
+    out = render(means, scales, rotq, opacity, shs, camera=cam, width=W,
+                 height=H, alive=alive, backend="tiled", tile_cap=64,
+                 bg=jnp.array([1.0, 0.0, 0.0]))
+    np.testing.assert_allclose(out["render"][0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(out["render"][1], 0.0, atol=1e-6)
+    assert not bool(out["visibility_filter"].any())

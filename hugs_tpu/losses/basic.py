@@ -1,0 +1,82 @@
+"""Image losses, pure JAX: masked L1, windowed SSIM, PSNR, TV.
+
+Numerics match the reference implementations (hugs/losses/utils.py:54-108,
+hugs/utils/image.py:27-29): SSIM uses an 11x11 Gaussian window, sigma 1.5,
+same-padding depthwise convolution, C1=0.01^2, C2=0.03^2. Images are
+(3, H, W) in [0, 1].
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray,
+            mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Reference l1_loss (losses/utils.py:54-58): with a mask, the SUM of
+    absolute error over the whole image divided by mask.sum()."""
+    if mask is not None:
+        return jnp.sum(jnp.abs(pred - gt)) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.mean(jnp.abs(pred - gt))
+
+
+def l2_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - gt) ** 2)
+
+
+def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Per-image PSNR over flattened pixels (reference image.py:27-29)."""
+    mse = jnp.mean((pred - gt) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
+@functools.lru_cache(maxsize=4)
+def _gaussian_window(window_size: int, sigma: float):
+    import numpy as np
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs ** 2) / (2.0 * sigma ** 2))
+    g = g / g.sum()
+    w2d = np.outer(g, g).astype(np.float32)
+    return jnp.asarray(w2d)
+
+
+def _depthwise_blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """(C, H, W) same-padded depthwise conv with a (k, k) window."""
+    c = img.shape[0]
+    k = window.shape[0]
+    kernel = jnp.tile(window[None, None], (c, 1, 1, 1))  # (C,1,k,k)
+    out = jax.lax.conv_general_dilated(
+        img[None], kernel, window_strides=(1, 1),
+        padding=[(k // 2, k // 2)] * 2,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c)
+    return out[0]
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+         sigma: float = 1.5) -> jnp.ndarray:
+    """Mean SSIM over the image, (C, H, W) inputs."""
+    w = _gaussian_window(window_size, sigma)
+    mu1 = _depthwise_blur(img1, w)
+    mu2 = _depthwise_blur(img2, w)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _depthwise_blur(img1 * img1, w) - mu1_sq
+    sigma2_sq = _depthwise_blur(img2 * img2, w) - mu2_sq
+    sigma12 = _depthwise_blur(img1 * img2, w) - mu1_mu2
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))
+    return jnp.mean(ssim_map)
+
+
+def total_variation_loss(img: jnp.ndarray,
+                         mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Anisotropic TV (reference losses/utils.py:23-51)."""
+    d_x = img[..., :, 1:] - img[..., :, :-1]
+    d_y = img[..., 1:, :] - img[..., :-1, :]
+    tv = jnp.sum(jnp.abs(d_x)) + jnp.sum(jnp.abs(d_y))
+    if mask is not None:
+        return tv / jnp.maximum(jnp.sum(mask), 1.0)
+    return tv / (img.shape[-1] * img.shape[-2])

@@ -33,13 +33,18 @@ def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=4)
-def _gaussian_window(window_size: int, sigma: float):
+def _gaussian_window_np(window_size: int, sigma: float):
+    # cache NUMPY only — caching a jnp array created inside a jit trace
+    # would leak a tracer into later traces
     import numpy as np
     xs = np.arange(window_size) - window_size // 2
     g = np.exp(-(xs ** 2) / (2.0 * sigma ** 2))
     g = g / g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return jnp.asarray(w2d)
+    return np.outer(g, g).astype(np.float32)
+
+
+def _gaussian_window(window_size: int, sigma: float):
+    return jnp.asarray(_gaussian_window_np(window_size, sigma))
 
 
 def _depthwise_blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:

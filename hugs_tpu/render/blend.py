@@ -62,6 +62,14 @@ def blend_tiles(pg: ProjectedGaussians, bins: TileBins, width: int,
         color = rgb.T @ wmat + bg[:, None] * jnp.exp(log_t[-1])[None, :]
         return color                                      # (3, P)
 
+    # Rematerialize each tile's blend in the backward pass: without this,
+    # the (K, P) alpha/transmittance intermediates of every tile stay live
+    # for the whole backward (~GBs at 540p); with it, the backward
+    # recomputes them tile-by-tile from the (tiny) gathered inputs —
+    # the same recompute-in-backward strategy as the CUDA kernel's
+    # back-to-front replay.
+    one_tile = jax.checkpoint(one_tile)
+
     def batch_fn(ts):
         return jax.vmap(one_tile)(ts)
 

@@ -93,12 +93,12 @@ class HumanSceneLoss(NamedTuple):
                 pred_p, gt_p = sample_patches(
                     k_patch, mask, [image_bg, gt_bg],
                     num_patches=self.num_patches, patch_size=self.patch_size)
-                lp = jnp.mean(self.lpips(jnp.clip(pred_p, a_max=1.0), gt_p))
+                lp = jnp.mean(self.lpips(jnp.clip(pred_p, max=1.0), gt_p))
                 loss_dict["lpips_patch"] = self.l_lpips_w * lp
             else:
                 # bbox crop variant needs static shapes: crop to a fixed
                 # patch at the bbox center
-                lp = jnp.mean(self.lpips(jnp.clip(pred_img, a_max=1.0)[None],
+                lp = jnp.mean(self.lpips(jnp.clip(pred_img, max=1.0)[None],
                                          gt_image[None]))
                 loss_dict["lpips"] = self.l_lpips_w * lp
 
@@ -117,7 +117,7 @@ class HumanSceneLoss(NamedTuple):
                 pred_p, gt_p = sample_patches(
                     k_patch2, mask, [image_bg, gt_bg],
                     num_patches=self.num_patches, patch_size=self.patch_size)
-                lph = jnp.mean(self.lpips(jnp.clip(pred_p, a_max=1.0), gt_p))
+                lph = jnp.mean(self.lpips(jnp.clip(pred_p, max=1.0), gt_p))
                 loss_dict["lpips_patch_human"] = (self.l_lpips_w * lph
                                                   * self.l_humansep_w)
 

@@ -59,7 +59,13 @@ def blend_tiles(pg: ProjectedGaussians, bins: TileBins, width: int,
         trans = jnp.exp(jnp.concatenate(
             [jnp.zeros((1, P), alpha.dtype), log_t[:-1]], axis=0))
         wmat = alpha * trans                              # (K, P)
-        color = rgb.T @ wmat + bg[:, None] * jnp.exp(log_t[-1])[None, :]
+        # full-f32 contraction: TPU default matmul precision is bf16,
+        # which would put ~1e-3 noise on the composited colors
+        color = jax.lax.dot_general(
+            rgb, wmat, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        color = color + bg[:, None] * jnp.exp(log_t[-1])[None, :]
         return color                                      # (3, P)
 
     # Rematerialize each tile's blend in the backward pass: without this,

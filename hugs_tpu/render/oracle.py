@@ -71,7 +71,10 @@ def render_oracle(pg: ProjectedGaussians, width: int, height: int,
     trans = jnp.exp(jnp.concatenate(
         [jnp.zeros((1, alpha.shape[1])), log_t[:-1]], axis=0))
     w = alpha * trans                        # (N, P)
-    color = rgb.T @ w                        # (3, P)
+    color = jax.lax.dot_general(             # (3, P), full f32
+        rgb, w, dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
     final_t = jnp.exp(log_t[-1]) if alpha.shape[0] else jnp.ones(alpha.shape[1])
     img = color + bg[:, None] * final_t[None, :]
     return jnp.clip(img.reshape(3, height, width).transpose(1, 2, 0), 0.0, 1.0)

@@ -22,14 +22,23 @@ from hugs_tpu.render.project import ProjectedGaussians
 TILE = 16
 
 
+ALIGN = 128  # per-tile segments start at multiples of this (the Pallas
+#              blend streams CHUNK=128 instances per DMA, and Mosaic needs
+#              provably lane-aligned dynamic slices)
+
+
 class TileBins(NamedTuple):
-    # Sorted Gaussian instance list and per-tile ranges into it.
-    gauss_id: jnp.ndarray   # (I,) int32 index into the Gaussian arrays
-    tile_id: jnp.ndarray    # (I,) int32 (== num_tiles for invalid slots)
-    starts: jnp.ndarray     # (T,) int32 range start per tile
-    ends: jnp.ndarray       # (T,) int32 range end per tile
-    n_instances: jnp.ndarray  # () int32 total valid instances (may exceed I
-    #                            if the budget overflowed — see `overflowed`)
+    # Sorted, segment-ALIGNED Gaussian instance list + per-tile ranges.
+    # Tile t owns slots [starts[t], starts[t] + roundup(count_t, ALIGN));
+    # the first count_t = ends[t]-starts[t] are valid, the rest padding
+    # (gauss_id 0, masked by count everywhere).
+    gauss_id: jnp.ndarray   # (I_align,) int32 index into Gaussian arrays
+    tile_id: jnp.ndarray    # (I_align,) int32 (== num_tiles for padding)
+    starts: jnp.ndarray     # (T,) int32 ALIGN-multiple segment start
+    ends: jnp.ndarray       # (T,) int32 starts + valid count
+    n_instances: jnp.ndarray  # () int32 total valid instances (may exceed
+    #                            the budget if overflowed)
+    aligned_total: jnp.ndarray  # () int32 end of the last written segment
     overflowed: jnp.ndarray   # () bool: instance budget exceeded
 
 
@@ -82,9 +91,26 @@ def bin_gaussians(pg: ProjectedGaussians, width: int, height: int,
         (tile_ids, depth, gid), num_keys=2)
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_sorted, tids, side='left').astype(jnp.int32)
-    ends = jnp.searchsorted(tile_sorted, tids, side='right').astype(jnp.int32)
+    raw_starts = jnp.searchsorted(tile_sorted, tids,
+                                  side='left').astype(jnp.int32)
+    raw_ends = jnp.searchsorted(tile_sorted, tids,
+                                side='right').astype(jnp.int32)
 
-    return TileBins(gauss_id=gid_sorted, tile_id=tile_sorted, starts=starts,
-                    ends=ends, n_instances=total,
+    # re-layout into ALIGN-aligned per-tile segments
+    counts = raw_ends - raw_starts
+    seg = ((counts + ALIGN - 1) // ALIGN) * ALIGN
+    astarts = (jnp.cumsum(seg) - seg).astype(jnp.int32)
+    i_align = budget + ALIGN * num_tiles        # static worst case
+    delta = astarts - raw_starts                # (T,)
+    tclip = jnp.clip(tile_sorted, 0, num_tiles - 1)
+    newpos = jnp.arange(budget, dtype=jnp.int32) + delta[tclip]
+    newpos = jnp.where(tile_sorted < num_tiles, newpos, i_align)
+    gauss_al = jnp.zeros(i_align, jnp.int32).at[newpos].set(
+        gid_sorted, mode="drop")
+    tile_al = jnp.full(i_align, num_tiles, jnp.int32).at[newpos].set(
+        tile_sorted, mode="drop")
+
+    return TileBins(gauss_id=gauss_al, tile_id=tile_al, starts=astarts,
+                    ends=astarts + counts, n_instances=total,
+                    aligned_total=astarts[-1] + seg[-1],
                     overflowed=total > budget)

@@ -1,0 +1,446 @@
+"""Training orchestration: the GaussianTrainer equivalent.
+
+Host-side loop around the jitted step functions, mirroring the reference
+trainer's behavior (hugs/trainer/gs_trainer.py:70-747): dataset setup,
+model construction (+init distillation), the train loop with
+per-interval densification / opacity reset / SH ramp / checkpoint /
+validation / animation, and the eval metrics (PSNR/SSIM/LPIPS full-image
+and human-bbox-crop).
+
+Differences by design:
+  - all per-step work is inside jitted functions; the host only sequences
+    them and handles I/O;
+  - checkpoints are orbax-saved pytrees (+ 3DGS PLY export for ecosystem
+    interop);
+  - datasets are pre-stacked into device arrays once (the reference
+    caches to GPU the same way, neuman.py:394-401).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hugs_tpu.cfg import Config
+from hugs_tpu.models import scene_gs as sgs
+from hugs_tpu.models import human_gs as hgs
+from hugs_tpu.models.smpl import load_smpl, synthetic_smpl
+from hugs_tpu.models.subdivide import subdivide_smpl_model
+from hugs_tpu.render import render_human_scene
+from hugs_tpu.losses import HumanSceneLoss, LPIPS, psnr, ssim
+from hugs_tpu.train.optim import expon_lr
+from hugs_tpu.train.scene_step import (
+    SceneTrainState, init_scene_train_state, scene_train_step,
+    scene_densify_step, make_scene_lrs)
+from hugs_tpu.train.human_step import (
+    HumanTrainState, init_human_train_state, human_train_step,
+    human_densify_step, make_human_lrs, distill_init)
+from hugs_tpu.train.joint_step import JointTrainState, joint_train_step
+from hugs_tpu.train import checkpoint as ckpt_io
+from hugs_tpu.utils.image import save_image_grid, save_png
+
+
+class GaussianTrainer:
+    def __init__(self, cfg: Config, train_dataset=None, val_dataset=None,
+                 anim_dataset=None, smpl_model=None):
+        self.cfg = cfg
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.anim_dataset = anim_dataset
+        self.eval_metrics: dict[str, Any] = {}
+        self.rng = np.random.RandomState(cfg.seed)
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        self.bg_color = jnp.ones(3) if cfg.bg_color == "white" \
+            else jnp.zeros(3)
+
+        lpips_path = cfg.tpu.lpips_weights or None
+        self.lpips = LPIPS.create(lpips_path)
+
+        # ---- human model ----
+        self.human = None
+        self.human_cfg = None
+        self.fixed = None
+        if cfg.mode in ("human", "human_scene"):
+            smpl = smpl_model
+            if smpl is None:
+                smpl_dir = os.path.join(cfg.dataset_path or "data", "smpl")
+                smpl = (load_smpl(smpl_dir) if os.path.exists(smpl_dir)
+                        else synthetic_smpl())
+            template = smpl
+            if cfg.human.n_subdivision > 0:
+                template = subdivide_smpl_model(
+                    smpl, smoothing=True, n_iter=cfg.human.n_subdivision)
+            self.human_cfg = hgs.HumanGSConfig(
+                sh_degree=cfg.human.sh_degree,
+                triplane_res=cfg.human.triplane_res,
+                use_deformer=cfg.human.use_deformer,
+                disable_posedirs=cfg.human.disable_posedirs,
+                use_surface=cfg.human.use_surface,
+                init_2d=cfg.human.init_2d,
+                rotate_sh=cfg.human.rotate_sh,
+                isotropic=cfg.human.isotropic,
+                init_scale_multiplier=cfg.human.init_scale_multiplier)
+            ds = train_dataset or val_dataset
+            n_frames = len(ds) if ds else 1
+            betas = (jnp.asarray(ds[0]["betas"]) if ds else jnp.zeros(10))
+            cap = cfg.tpu.human_capacity or int(cfg.human.max_n_gaussians)
+            cap = max(cap, template.n_verts)
+            init_pose = init_orient = init_transl = None
+            if train_dataset is not None:
+                init_pose = jnp.stack(
+                    [jnp.asarray(d["body_pose"]) for d in train_dataset])
+                init_orient = jnp.stack(
+                    [jnp.asarray(d["global_orient"]) for d in train_dataset])
+                init_transl = jnp.stack(
+                    [jnp.asarray(d["transl"]) for d in train_dataset])
+            self.key, k = jax.random.split(self.key)
+            params, state, fixed, init_values = hgs.init_human_gs(
+                k, self.human_cfg, smpl, template, betas, n_frames,
+                capacity=cap, init_body_pose=init_pose,
+                init_global_orient=init_orient, init_transl=init_transl)
+            self.fixed = fixed
+            self.init_values = init_values
+            if not cfg.eval and cfg.human.run_init:
+                params = distill_init(params, state, init_values,
+                                      self.human_cfg,
+                                      num_steps=cfg.human.get(
+                                          "init_steps", 7000))
+            self.human = init_human_train_state(params, state)
+            self.h_static_lrs, self.h_xyz_sched = make_human_lrs(
+                cfg.human.lr, optim_pose=cfg.human.optim_pose,
+                optim_betas=cfg.human.optim_betas,
+                optim_trans=cfg.human.optim_trans)
+
+        # ---- scene model ----
+        self.scene = None
+        if cfg.mode in ("scene", "human_scene"):
+            if train_dataset is not None:
+                pts, cols = train_dataset.init_pcd
+                self.scene_extent = train_dataset.radius
+            else:
+                pts = np.random.RandomState(0).uniform(
+                    -3, 3, (1024, 3)).astype(np.float32) + [0, 0, 4]
+                cols = np.full((1024, 3), 0.5, np.float32)
+                self.scene_extent = 4.0
+            cap = cfg.tpu.scene_capacity or int(cfg.scene.max_n_gaussians)
+            cap = max(cap, pts.shape[0])
+            gs = sgs.create_from_pcd(pts, cols, cap,
+                                     max_sh_degree=cfg.scene.sh_degree)
+            self.scene = init_scene_train_state(gs)
+            self.s_static_lrs, self.s_xyz_sched = make_scene_lrs(
+                cfg.scene.lr, self.scene_extent)
+
+        # loss config (lpips passed separately at call time)
+        l = cfg.human.loss if cfg.mode != "scene" else cfg.scene.loss
+        self.loss_fn = HumanSceneLoss(
+            l_ssim_w=l.ssim_w, l_l1_w=l.l1_w,
+            l_lpips_w=l.get("lpips_w", 0.0),
+            l_lbs_w=l.get("lbs_w", 0.0),
+            l_humansep_w=l.get("humansep_w", 0.0),
+            num_patches=l.get("num_patches", 4),
+            patch_size=l.get("patch_size", 128),
+            use_patches=bool(l.get("use_patches", True)))
+
+        # try auto-resume
+        if cfg.logdir_ckpt and os.path.isdir(cfg.logdir_ckpt):
+            self.load_latest_ckpt()
+
+    # ------------------------------------------------------------- utils
+
+    def _render_kw(self):
+        t = self.cfg.tpu
+        return dict(backend=t.render_backend,
+                    instance_budget=int(t.instance_budget) or 0,
+                    tile_cap=int(t.tile_cap))
+
+    def _frame(self, data):
+        return (data["camera"], jnp.asarray(data["rgb"]),
+                jnp.asarray(data["mask"]), data["width"], data["height"])
+
+    # ------------------------------------------------------------- train
+
+    def train(self):
+        cfg = self.cfg
+        n = len(self.train_dataset)
+        order = self.rng.permutation(n)
+        pos = 0
+        log = []
+        t_start = time.time()
+        for t_iter in range(cfg.train.num_steps + 1):
+            if pos >= n:
+                order = self.rng.permutation(n)
+                pos = 0
+            idx = int(order[pos])
+            pos += 1
+            data = self.train_dataset[idx]
+            camera, gt, mask, W, H = self._frame(data)
+            self.key, k_step, k_bg = jax.random.split(self.key, 3)
+            bg = jax.random.uniform(k_bg, (3,))
+            aux = self._train_step(t_iter, idx, data, camera, gt, mask,
+                                   W, H, bg, k_step)
+
+            if t_iter % 10 == 0:
+                log.append({"iter": t_iter,
+                            "loss": float(aux["loss"]),
+                            "elapsed_s": time.time() - t_start})
+            self._periodic(t_iter, aux)
+        return log
+
+    def _train_step(self, t_iter, idx, data, camera, gt, mask, W, H, bg,
+                    key):
+        cfg = self.cfg
+        mode = cfg.mode
+        scene_on = self.scene is not None and \
+            t_iter >= cfg.scene.opt_start_iter
+        if mode == "human_scene" and not scene_on:
+            mode = "human"
+
+        if mode == "scene":
+            self.scene, aux = scene_train_step(
+                self.scene, camera, gt, bg,
+                jnp.float32(self.s_xyz_sched(t_iter)), self.s_static_lrs,
+                width=W, height=H,
+                l1_w=cfg.scene.loss.l1_w, ssim_w=cfg.scene.loss.ssim_w,
+                **self._render_kw())
+            self._maybe_densify_scene(t_iter)
+        elif mode == "human":
+            self.human, aux = human_train_step(
+                self.human, self.fixed, camera, gt, mask, bg,
+                jnp.asarray(data["smpl_scale"], jnp.float32).reshape(()),
+                jnp.int32(idx), key,
+                jnp.float32(self.h_xyz_sched(t_iter)), self.h_static_lrs,
+                lpips=(self.lpips if self.loss_fn.l_lpips_w > 0 else None),
+                cfg=self.human_cfg, loss_fn=self.loss_fn,
+                width=W, height=H, **self._render_kw())
+            self._maybe_densify_human(t_iter, aux)
+        else:  # human_scene
+            jstate = JointTrainState(human=self.human, scene=self.scene)
+            self.key, k_hbg = jax.random.split(self.key)
+            human_bg = jax.random.uniform(k_hbg, (3,))
+            jstate, aux = joint_train_step(
+                jstate, self.fixed, camera, gt, mask, bg, human_bg,
+                jnp.asarray(data["smpl_scale"], jnp.float32).reshape(()),
+                jnp.int32(idx), key,
+                jnp.float32(self.h_xyz_sched(t_iter)), self.h_static_lrs,
+                jnp.float32(self.s_xyz_sched(t_iter)), self.s_static_lrs,
+                lpips=(self.lpips if self.loss_fn.l_lpips_w > 0 else None),
+                cfg=self.human_cfg, loss_fn=self.loss_fn, width=W, height=H,
+                render_human_separate=self.loss_fn.l_humansep_w > 0,
+                optim_scene=cfg.train.optim_scene, **self._render_kw())
+            self.human, self.scene = jstate.human, jstate.scene
+            self._maybe_densify_human(t_iter, aux)
+            self._maybe_densify_scene(t_iter)
+        return aux
+
+    def _maybe_densify_scene(self, t_iter):
+        cfg = self.cfg
+        it = (t_iter - max(cfg.scene.opt_start_iter, 0)) + 1
+        if self.scene is None or it > cfg.scene.densify_until_iter:
+            return
+        if it > cfg.scene.densify_from_iter \
+                and it % cfg.scene.densification_interval == 0:
+            size_thresh = 20.0 if it > cfg.scene.opacity_reset_interval \
+                else None
+            self.key, k = jax.random.split(self.key)
+            self.scene, _ = scene_densify_step(
+                self.scene, k, float(self.scene_extent),
+                grad_threshold=cfg.scene.densify_grad_threshold,
+                min_opacity=cfg.scene.prune_min_opacity,
+                max_screen_size=size_thresh,
+                percent_dense=cfg.scene.percent_dense)
+        is_white = float(self.bg_color.sum()) == 3.0
+        if it % cfg.scene.opacity_reset_interval == 0 or \
+                (is_white and it == cfg.scene.densify_from_iter):
+            self.key, k = jax.random.split(self.key)
+            self.scene, _ = scene_densify_step(
+                self.scene, k, float(self.scene_extent),
+                grad_threshold=np.inf, min_opacity=0.0,
+                do_reset_opacity=True)
+
+    def _maybe_densify_human(self, t_iter, aux):
+        cfg = self.cfg
+        it = t_iter + 1
+        if self.human is None or it > cfg.human.densify_until_iter:
+            return
+        if it > cfg.human.densify_from_iter \
+                and it % cfg.human.densification_interval == 0:
+            out = {"opacity": aux["opacity"],
+                   "scales_canon": aux["scales_canon"],
+                   "rotmat_canon": aux["rotmat_canon"]}
+            self.key, k = jax.random.split(self.key)
+            self.human, _ = human_densify_step(
+                self.human, out, k, float(cfg.human.densify_extent),
+                grad_threshold=cfg.human.densify_grad_threshold,
+                min_opacity=cfg.human.prune_min_opacity,
+                max_screen_size=20.0,
+                percent_dense=cfg.human.lr.percent_dense)
+
+    def _periodic(self, t_iter, aux):
+        cfg = self.cfg
+        if t_iter % 1000 == 0 and t_iter > 0:
+            if self.human is not None:
+                self.human = self.human._replace(state=hgs.one_up_sh_degree(
+                    self.human.state, cfg.human.sh_degree))
+            if self.scene is not None:
+                self.scene = self.scene._replace(gs=sgs.one_up_sh_degree(
+                    self.scene.gs, cfg.scene.sh_degree))
+        if cfg.logdir:
+            if t_iter > 0 and t_iter % cfg.train.save_ckpt_interval == 0:
+                self.save_ckpt(t_iter)
+            if t_iter > 0 and t_iter % cfg.train.val_interval == 0 \
+                    and self.val_dataset is not None:
+                self.validate(t_iter)
+
+    # -------------------------------------------------------- rendering
+
+    def forward_models(self, data, dataset_idx=-1, ext_tfs=None,
+                       use_dataset_pose=True):
+        h_out = s_out = None
+        if self.human is not None:
+            kwargs = {}
+            if use_dataset_pose:
+                kwargs = {k: jnp.asarray(data[k]) for k in
+                          ("global_orient", "body_pose", "betas", "transl")
+                          if k in data}
+            h_out = hgs.human_forward(
+                self.human.params, self.human.state, self.fixed,
+                self.human_cfg,
+                smpl_scale=jnp.asarray(
+                    data.get("smpl_scale", 1.0), jnp.float32).reshape(()),
+                dataset_idx=max(dataset_idx, 0), ext_tfs=ext_tfs, **kwargs)
+        if self.scene is not None:
+            s_out = sgs.scene_forward(self.scene.gs)
+        return h_out, s_out
+
+    def render_frame(self, data, render_mode=None, bg=None, ext_tfs=None,
+                     use_dataset_pose=True):
+        render_mode = render_mode or self.cfg.mode
+        h_out, s_out = self.forward_models(data, ext_tfs=ext_tfs,
+                                           use_dataset_pose=use_dataset_pose)
+        if render_mode == "human_scene" and s_out is None:
+            render_mode = "human"
+        pkg = render_human_scene(
+            {"camera": data["camera"], "width": data["width"],
+             "height": data["height"]},
+            h_out, s_out,
+            bg_color=self.bg_color if bg is None else bg,
+            render_mode=render_mode, **self._render_kw())
+        return pkg
+
+    # ------------------------------------------------------ validation
+
+    def validate(self, t_iter=None):
+        cfg = self.cfg
+        iter_s = "final" if t_iter is None else f"{t_iter:06d}"
+        bg = jnp.zeros(3)
+        metrics: dict[str, list] = {}
+
+        for idx in range(len(self.val_dataset)):
+            data = self.val_dataset[idx]
+            pkg = self.render_frame(data, bg=bg)
+            img = pkg["render"]
+            gt = jnp.asarray(data["rgb"])
+            metrics.setdefault("hugs_psnr", []).append(float(psnr(img, gt)))
+            metrics.setdefault("hugs_ssim", []).append(float(ssim(img, gt)))
+            metrics.setdefault("hugs_lpips", []).append(
+                float(self.lpips(jnp.clip(img, max=1.0)[None],
+                                 gt[None])[0]))
+            if cfg.mode in ("human", "human_scene") and "bbox" in data:
+                x0, y0, x1, y1 = [int(v) for v in np.asarray(data["bbox"])]
+                crop = img[:, x0:x1 + 1, y0:y1 + 1]
+                gcrop = gt[:, x0:x1 + 1, y0:y1 + 1]
+                if min(crop.shape[1:]) >= 8:
+                    metrics.setdefault("hugs_human_psnr", []).append(
+                        float(psnr(crop, gcrop)))
+                    metrics.setdefault("hugs_human_ssim", []).append(
+                        float(ssim(crop, gcrop)))
+                    metrics.setdefault("hugs_human_lpips", []).append(
+                        float(self.lpips(jnp.clip(crop, max=1.0)[None],
+                                         gcrop[None])[0]))
+            if cfg.logdir:
+                save_image_grid(
+                    [np.asarray(gt), np.asarray(img)],
+                    f"{cfg.logdir}/val/full_{iter_s}_{idx:03d}.png")
+
+        out = {k: float(np.mean(v)) for k, v in metrics.items() if v}
+        self.eval_metrics[iter_s] = out
+        if cfg.logdir:
+            os.makedirs(f"{cfg.logdir}/val", exist_ok=True)
+            with open(f"{cfg.logdir}/val/eval_{iter_s}.json", "w") as f:
+                json.dump(out, f, indent=2)
+        return out
+
+    # ------------------------------------------------------- animation
+
+    def animate(self, t_iter=None):
+        if self.anim_dataset is None:
+            return []
+        frames = []
+        for idx in range(len(self.anim_dataset)):
+            data = self.anim_dataset[idx]
+            ext_tfs = (jnp.asarray(data["manual_trans"]),
+                       jnp.asarray(data["manual_rotmat"]),
+                       jnp.asarray(data["manual_scale"]).reshape(()))
+            pkg = self.render_frame(data, ext_tfs=ext_tfs)
+            frames.append(np.asarray(pkg["render"]))
+            if self.cfg.logdir:
+                save_png(frames[-1],
+                         f"{self.cfg.logdir}/anim/{idx:05d}.png")
+        return frames
+
+    def render_canonical(self, nframes=8, img_size=128, pose_type=None):
+        from hugs_tpu.data.cameras import get_rotating_camera, \
+            get_smpl_static_params
+        cams = get_rotating_camera(img_size=img_size, dist=5.0,
+                                   nframes=nframes)
+        betas = self.human.params.betas
+        sp = get_smpl_static_params(
+            betas, pose_type or self.cfg.human.canon_pose_type)
+        frames = []
+        for cp in cams:
+            data = dict(sp, **cp)
+            pkg = self.render_frame(data, render_mode="human")
+            frames.append(np.asarray(pkg["render"]))
+            if self.cfg.logdir:
+                save_png(frames[-1],
+                         f"{self.cfg.logdir}/canon/{len(frames):05d}.png")
+        return frames
+
+    # ------------------------------------------------------ checkpoints
+
+    def save_ckpt(self, t_iter=None):
+        if not self.cfg.logdir_ckpt:
+            return
+        iter_s = "final" if t_iter is None else f"{t_iter:06d}"
+        ckpt_io.save(self.cfg.logdir_ckpt, iter_s, human=self.human,
+                     scene=self.scene)
+        if self.scene is not None and self.cfg.logdir:
+            gs = self.scene.gs
+            alive = np.asarray(gs.alive)
+            from hugs_tpu.utils.ply import save_gaussian_ply
+            save_gaussian_ply(
+                f"{self.cfg.logdir}/meshes/scene_{iter_s}_splat.ply",
+                np.asarray(gs.xyz)[alive],
+                np.asarray(gs.features_dc)[alive],
+                np.asarray(gs.features_rest)[alive],
+                np.asarray(gs.opacity)[alive],
+                np.asarray(gs.scaling)[alive],
+                np.asarray(gs.rotation)[alive])
+
+    def load_latest_ckpt(self):
+        loaded = ckpt_io.load_latest(self.cfg.logdir_ckpt,
+                                     human=self.human, scene=self.scene)
+        if loaded is None:
+            return False
+        human, scene = loaded
+        if human is not None:
+            self.human = human
+        if scene is not None:
+            self.scene = scene
+        return True

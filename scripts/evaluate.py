@@ -1,0 +1,47 @@
+"""Evaluation CLI (reference scripts/evaluate.py equivalent):
+reconstruct the config from a training output dir, auto-load the latest
+checkpoints, run validation + animation, dump results_eval.json.
+
+  python scripts/evaluate.py -o <output_dir>
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-o", "--output_dir", required=True)
+    args = ap.parse_args()
+
+    from hugs_tpu.cfg import load_config
+    cfg_path = os.path.join(args.output_dir, "config_train.yaml")
+    cfg = load_config(cfg_path if os.path.exists(cfg_path) else None)
+    cfg.eval = True
+    cfg.logdir = args.output_dir
+    cfg.logdir_ckpt = os.path.join(args.output_dir, "ckpt")
+
+    from main import build_datasets
+    from hugs_tpu.train.trainer import GaussianTrainer
+    _, val_ds, anim_ds = build_datasets(cfg)
+    trainer = GaussianTrainer(cfg, None, val_ds, anim_ds)
+    if not trainer.load_latest_ckpt():
+        print("no checkpoint found", file=sys.stderr)
+        return 1
+    metrics = trainer.validate()
+    with open(os.path.join(args.output_dir, "results_eval.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics, indent=2))
+    if anim_ds is not None:
+        trainer.animate()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,142 @@
+"""Data layer tests against a synthetic on-disk NeuMan-layout dataset."""
+import os
+
+import numpy as np
+import pytest
+
+from hugs_tpu.data import (
+    NeumanDataset, read_colmap_scene, get_rotating_camera,
+    get_predefined_pose, get_smpl_static_params,
+)
+from hugs_tpu.utils.ply import save_gaussian_ply, load_gaussian_ply
+
+
+def write_fake_neuman(root, seq="lab", n_frames=12, w=32, h=24):
+    from PIL import Image
+    path = os.path.join(root, seq)
+    os.makedirs(os.path.join(path, "images"))
+    os.makedirs(os.path.join(path, "segmentations"))
+    os.makedirs(os.path.join(path, "sparse"))
+    os.makedirs(os.path.join(path, "4d_humans"))
+    rng = np.random.RandomState(0)
+
+    for i in range(n_frames):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(f"{path}/images/{i:05d}.png")
+        msk = np.zeros((h, w), np.uint8)
+        msk[8:16, 10:20] = 255
+        Image.fromarray(msk).save(f"{path}/segmentations/{i:05d}.png")
+
+    with open(f"{path}/sparse/cameras.txt", "w") as f:
+        f.write("# comment\n")
+        f.write(f"1 PINHOLE {w} {h} {w*1.2} {h*1.2} {w/2} {h/2}\n")
+    with open(f"{path}/sparse/images.txt", "w") as f:
+        f.write("# comment\n")
+        for i in range(n_frames):
+            ang = 0.05 * i
+            # simple rotation about y as quaternion
+            f.write(f"{i+1} {np.cos(ang/2)} 0 {np.sin(ang/2)} 0 "
+                    f"{0.1*i} 0 4 1 {i:05d}.png\n")
+            f.write("\n")
+    with open(f"{path}/sparse/points3D.txt", "w") as f:
+        f.write("# comment\n")
+        for i in range(50):
+            p = rng.uniform(-1, 1, 3)
+            c = rng.randint(0, 255, 3)
+            f.write(f"{i} {p[0]} {p[1]} {p[2]+4} {c[0]} {c[1]} {c[2]} 0.5\n")
+
+    np.savez(f"{path}/4d_humans/smpl_optimized_aligned_scale.npz",
+             betas=rng.randn(n_frames, 10).astype(np.float32) * 0.1,
+             global_orient=rng.randn(n_frames, 3).astype(np.float32) * 0.1,
+             body_pose=rng.randn(n_frames, 69).astype(np.float32) * 0.1,
+             transl=rng.randn(n_frames, 3).astype(np.float32) * 0.1,
+             scale=np.ones(n_frames, np.float32))
+    return path
+
+
+@pytest.fixture(scope="module")
+def neuman_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("neuman"))
+    write_fake_neuman(root)
+    return root
+
+
+def test_colmap_parse(neuman_root):
+    scene = read_colmap_scene(os.path.join(neuman_root, "lab", "sparse"))
+    assert len(scene.images) == 12
+    assert scene.points.shape == (50, 3)
+    assert scene.colors.max() <= 1.0
+    assert scene.cameras[1].width == 32
+    # R orthonormal
+    R = scene.images[3].R
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+
+def test_neuman_train_val_split(neuman_root):
+    tr = NeumanDataset(neuman_root, "lab", "train")
+    va = NeumanDataset(neuman_root, "lab", "val")
+    assert len(tr) > 0 and len(va) > 0
+    assert len(tr) + 2 * len(va) == 12 or len(tr) > len(va)
+    d = tr[0]
+    assert d["rgb"].shape == (3, 24, 32)
+    assert d["mask"].shape == (24, 32)
+    assert d["body_pose"].shape == (69,)
+    assert d["bbox"].shape == (4,)
+    # bbox covers the painted mask block
+    xmin, ymin, xmax, ymax = d["bbox"]
+    assert xmin == 8 and xmax == 15 and ymin == 10 and ymax == 19
+    assert tr.radius > 0
+
+
+def test_neuman_anim_split(neuman_root, tmp_path):
+    # fake AMASS mocap file at the expected relative path
+    amass = tmp_path / "amass"
+    os.makedirs(amass / "SFU" / "0008")
+    rng = np.random.RandomState(1)
+    np.savez(amass / "SFU" / "0008" / "0008_ChaCha001_poses.npz",
+             poses=rng.randn(100, 156).astype(np.float32) * 0.1,
+             trans=rng.randn(100, 3).astype(np.float32))
+    ds = NeumanDataset(neuman_root, "lab", "anim", amass_root=str(amass))
+    assert len(ds) == 25  # (0,1000,4) slice of 100 frames
+    d = ds[0]
+    assert d["manual_rotmat"].shape == (3, 3)
+    assert "rgb" not in d
+    assert d["body_pose"].shape == (69,)
+
+
+def test_bg_points(neuman_root):
+    ds = NeumanDataset(neuman_root, "lab", "train", add_bg_points=True,
+                       num_bg_points=1000)
+    pts, cols = ds.init_pcd
+    assert pts.shape[0] == 1050
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    n = 17
+    data = {
+        "xyz": rng.randn(n, 3).astype(np.float32),
+        "features_dc": rng.randn(n, 1, 3).astype(np.float32),
+        "features_rest": rng.randn(n, 15, 3).astype(np.float32),
+        "opacity": rng.randn(n, 1).astype(np.float32),
+        "scaling": rng.randn(n, 3).astype(np.float32),
+        "rotation": rng.randn(n, 4).astype(np.float32),
+    }
+    p = str(tmp_path / "test.ply")
+    save_gaussian_ply(p, **data)
+    out = load_gaussian_ply(p)
+    for k in data:
+        np.testing.assert_allclose(out[k], data[k], atol=1e-6, err_msg=k)
+
+
+def test_synthetic_cameras():
+    cams = get_rotating_camera(img_size=64, nframes=8, dist=5.0)
+    assert len(cams) == 8
+    for c in cams:
+        cc = np.asarray(c["camera"].center)
+        np.testing.assert_allclose(np.linalg.norm(cc), 5.0, atol=1e-4)
+    pose = get_predefined_pose("a_pose")
+    assert pose.shape == (69,)
+    assert abs(float(pose[47]) + 0.8) < 1e-6
+    sp = get_smpl_static_params(np.zeros(10), "da_pose")
+    assert sp["body_pose"].shape == (69,)

@@ -45,18 +45,23 @@ def test_binning_covers_visible():
     pg = project_gaussians(means, scales, rotq, opacity, shs, cam, W, H)
     bins = bin_gaussians(pg, W, H, budget=8192)
     assert not bool(bins.overflowed)
+    starts = np.asarray(bins.starts)
+    ends = np.asarray(bins.ends)
+    gid = np.asarray(bins.gauss_id)
+    dep = np.asarray(pg.depth)
+    # aligned layout invariants
+    assert (starts % 128 == 0).all()
+    assert int(bins.aligned_total) <= gid.shape[0]
+    listed = set()
+    for t in range(starts.shape[0]):
+        seg = gid[starts[t]:ends[t]]
+        listed.update(seg.tolist())
+        # per-tile front-to-back depth ordering
+        assert (np.diff(dep[seg]) >= -1e-6).all()
     # every visible gaussian appears in at least one tile list
-    n_inst = int(bins.n_instances)
-    listed = set(np.asarray(bins.gauss_id[:n_inst]).tolist())
     _, _, w, h, _, _ = tile_spans(pg, W, H)
     expect = set(np.nonzero(np.asarray(pg.mask & (w * h > 0)))[0].tolist())
     assert expect <= listed
-    # per-tile depth ordering
-    tid = np.asarray(bins.tile_id[:n_inst])
-    dep = np.asarray(pg.depth)[np.asarray(bins.gauss_id[:n_inst])]
-    for t in np.unique(tid):
-        d = dep[tid == t]
-        assert (np.diff(d) >= -1e-6).all()
 
 
 @pytest.mark.parametrize("seed", [0, 1])

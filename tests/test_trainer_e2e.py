@@ -1,0 +1,91 @@
+"""End-to-end GaussianTrainer integration on a synthetic on-disk NeuMan
+dataset: joint human+scene training, validation metrics, checkpoint
+save/auto-resume, canonical rendering."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hugs_tpu.cfg import default_config
+from hugs_tpu.data import NeumanDataset
+from hugs_tpu.models.smpl import synthetic_smpl
+from tests.test_data import write_fake_neuman
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("neuman"))
+    write_fake_neuman(root, n_frames=10, w=48, h=32)
+    cfg = default_config()
+    cfg.mode = "human_scene"
+    cfg.train.num_steps = 12
+    cfg.train.save_ckpt_interval = 10
+    cfg.train.val_interval = 1000
+    cfg.human.triplane_res = 32
+    cfg.human.n_subdivision = 0
+    cfg.human.use_deformer = True
+    cfg.human.disable_posedirs = True
+    cfg.human.loss.lpips_w = 0.0
+    cfg.human.loss.patch_size = 16
+    cfg.human.densify_from_iter = 4
+    cfg.human.densification_interval = 6
+    cfg.scene.densify_from_iter = 4
+    cfg.scene.densification_interval = 6
+    cfg.tpu.scene_capacity = 256
+    cfg.tpu.human_capacity = 1024
+    cfg.tpu.tile_cap = 256
+    cfg.tpu.instance_budget = 16384
+    logdir = str(tmp_path_factory.mktemp("out"))
+    cfg.logdir = logdir
+    cfg.logdir_ckpt = os.path.join(logdir, "ckpt")
+    for sub in ("ckpt", "val", "meshes", "canon", "anim"):
+        os.makedirs(os.path.join(logdir, sub), exist_ok=True)
+    return root, cfg
+
+
+def build_trainer(root, cfg):
+    from hugs_tpu.train.trainer import GaussianTrainer
+    train_ds = NeumanDataset(root, "lab", "train", render_mode=cfg.mode)
+    val_ds = NeumanDataset(root, "lab", "val", render_mode=cfg.mode)
+    smpl = synthetic_smpl(verts_per_bone=8)
+    return GaussianTrainer(cfg, train_ds, val_ds, None, smpl_model=smpl), \
+        train_ds, val_ds
+
+
+def test_trainer_full_cycle(env):
+    root, cfg = env
+    trainer, train_ds, val_ds = build_trainer(root, cfg)
+
+    log = trainer.train()
+    losses = [e["loss"] for e in log]
+    assert np.isfinite(losses).all()
+
+    metrics = trainer.validate()
+    assert "hugs_psnr" in metrics and np.isfinite(metrics["hugs_psnr"])
+    assert "hugs_human_psnr" in metrics
+
+    # checkpoint written by the periodic hook at iter 10
+    assert any(d.startswith("human_") for d in os.listdir(cfg.logdir_ckpt))
+    assert any(d.startswith("scene_") for d in os.listdir(cfg.logdir_ckpt))
+    # PLY exported
+    assert any(f.endswith("_splat.ply")
+               for f in os.listdir(os.path.join(cfg.logdir, "meshes")))
+
+    # canonical render runs
+    frames = trainer.render_canonical(nframes=2, img_size=48)
+    assert len(frames) == 2 and np.isfinite(frames[0]).all()
+
+    # val images written
+    assert any(f.startswith("full_")
+               for f in os.listdir(os.path.join(cfg.logdir, "val")))
+
+
+def test_trainer_resume(env):
+    root, cfg = env
+    trainer2, *_ = build_trainer(root, cfg)  # ctor auto-loads latest ckpt
+    assert trainer2.load_latest_ckpt()
+    # resumed scene population matches what training left behind
+    assert int(trainer2.scene.gs.n_alive) > 0
+    m = trainer2.validate()
+    assert np.isfinite(m["hugs_psnr"])

@@ -46,7 +46,7 @@ def build_scene(n, seed=0):
 def main():
     from hugs_tpu.render import render, make_camera
 
-    backend = os.environ.get("HUGS_BENCH_BACKEND", "tiled")
+    backend = os.environ.get("HUGS_BENCH_BACKEND", "pallas")
     params = build_scene(N_GAUSS)
     cam = make_camera(jnp.eye(3), jnp.zeros(3), 0.9, 0.55)
     target = jax.random.uniform(jax.random.PRNGKey(9), (3, H, W))

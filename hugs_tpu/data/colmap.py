@@ -73,6 +73,15 @@ def read_cameras_txt(path: str) -> dict:
 
 
 def read_images_txt(path: str) -> list:
+    from hugs_tpu.data import native
+    res = native.parse_images(path)
+    if res is not None:
+        quat, trans, cam_ids, names = res
+        images = [ColmapImage(name=nm, camera_id=int(cid),
+                              R=_quat_to_rot(q), t=t.astype(np.float32))
+                  for q, t, cid, nm in zip(quat, trans, cam_ids, names)]
+        images.sort(key=lambda im: im.name)
+        return images
     images = []
     with open(path) as f:
         lines = [ln for ln in f if not ln.startswith("#")]
@@ -92,6 +101,10 @@ def read_images_txt(path: str) -> list:
 
 
 def read_points3d_txt(path: str):
+    from hugs_tpu.data import native
+    res = native.parse_points3d(path)
+    if res is not None:
+        return res
     pts, cols = [], []
     with open(path) as f:
         for line in f:

@@ -140,3 +140,32 @@ def test_synthetic_cameras():
     assert abs(float(pose[47]) + 0.8) < 1e-6
     sp = get_smpl_static_params(np.zeros(10), "da_pose")
     assert sp["body_pose"].shape == (69,)
+
+
+def test_native_parser_matches_python(neuman_root):
+    import os as _os
+    from hugs_tpu.data import native, colmap
+    if not native.native_available():
+        import pytest as _pytest
+        _pytest.skip("native lib unavailable")
+    sparse = _os.path.join(neuman_root, "lab", "sparse")
+    # points
+    nat = native.parse_points3d(_os.path.join(sparse, "points3D.txt"))
+    assert nat is not None
+    # force the python fallback by parsing inline
+    pts, cols = [], []
+    with open(_os.path.join(sparse, "points3D.txt")) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.split()
+            pts.append([float(x) for x in parts[1:4]])
+            cols.append([float(x) / 255.0 for x in parts[4:7]])
+    np.testing.assert_allclose(nat[0], np.asarray(pts, np.float32), atol=1e-6)
+    np.testing.assert_allclose(nat[1], np.asarray(cols, np.float32), atol=1e-6)
+    # images
+    nimg = native.parse_images(_os.path.join(sparse, "images.txt"))
+    assert nimg is not None
+    quat, trans, cam_ids, names = nimg
+    assert len(names) == 12
+    assert names[0].endswith(".png")

@@ -47,7 +47,7 @@ def render(
     backend: str = "tiled",
     instance_budget: int | None = None,
     tile_cap: int = 1024,
-    tile: int = TILE,
+    tile: int | None = None,
 ) -> dict[str, Any]:
     """Render one view. Returns dict with 'render' (3, H, W), 'radii' (N,),
     'visibility_filter' (N,) bool, 'overflowed' (scalar bool diagnostics).
@@ -64,6 +64,11 @@ def render(
         img = render_oracle(pg, width, height, bg).transpose(2, 0, 1)
         overflowed = jnp.bool_(False)
     elif backend in ("tiled", "pallas"):
+        if tile is None:
+            # 32x32 tiles suit the Pallas kernel (4x fewer grid cells,
+            # ~2x fewer duplicated instances); 16x16 suits the padded
+            # XLA path (smaller per-tile capacity waste)
+            tile = 32 if backend == "pallas" else TILE
         n = means3d.shape[0]
         budget = instance_budget or max(4 * n, 1 << 16)
         bins = bin_gaussians(pg, width, height, budget, tile)

@@ -85,3 +85,21 @@ def total_variation_loss(img: jnp.ndarray,
     if mask is not None:
         return tv / jnp.maximum(jnp.sum(mask), 1.0)
     return tv / (img.shape[-1] * img.shape[-2])
+
+
+def pcd_laplacian_smoothing(verts: jnp.ndarray,
+                            edges: jnp.ndarray) -> jnp.ndarray:
+    """Uniform-Laplacian smoothing regularizer (reference
+    pcd_laplacian_smoothing, losses/utils.py:152-162, via pytorch3d's
+    sparse laplacian): mean ||L @ verts|| with L = A/deg - I built from
+    the (E, 2) undirected edge list. The Laplacian itself is treated as
+    a constant (stop_gradient on the structure is implicit — it only
+    depends on connectivity)."""
+    n = verts.shape[0]
+    deg = jnp.zeros(n).at[edges[:, 0]].add(1.0).at[edges[:, 1]].add(1.0)
+    inv_deg = 1.0 / jnp.clip(deg, 1.0)
+    nb = jnp.zeros_like(verts)
+    nb = nb.at[edges[:, 0]].add(verts[edges[:, 1]])
+    nb = nb.at[edges[:, 1]].add(verts[edges[:, 0]])
+    lap = nb * inv_deg[:, None] - verts
+    return jnp.mean(jnp.linalg.norm(lap, axis=-1))

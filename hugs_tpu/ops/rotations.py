@@ -201,3 +201,34 @@ def rotation_matrix_from_vectors(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     ortho = ortho / jnp.clip(jnp.linalg.norm(ortho, axis=-1, keepdims=True), _EPS)
     R180 = quat_to_matrix(jnp.concatenate([jnp.zeros_like(c)[..., None], ortho], axis=-1))
     return jnp.where((c < -1.0 + 1e-6)[..., None, None], R180, R)
+
+
+# ----------------------------------------------------------- euler angles
+
+def euler_to_matrix(euler: jnp.ndarray, convention: str = "XYZ") -> jnp.ndarray:
+    """Euler angles (..., 3) -> rotation matrices, extrinsic fixed-axis
+    composition (reference euler_angles_to_matrix semantics,
+    hugs/utils/rotations.py:189-227)."""
+    def axis_rot(axis, a):
+        c, s = jnp.cos(a), jnp.sin(a)
+        one, zero = jnp.ones_like(a), jnp.zeros_like(a)
+        if axis == "X":
+            rows = [one, zero, zero, zero, c, -s, zero, s, c]
+        elif axis == "Y":
+            rows = [c, zero, s, zero, one, zero, -s, zero, c]
+        else:
+            rows = [c, -s, zero, s, c, zero, zero, zero, one]
+        return jnp.stack(rows, axis=-1).reshape(a.shape + (3, 3))
+
+    mats = [axis_rot(ax, euler[..., i]) for i, ax in enumerate(convention)]
+    return mats[0] @ mats[1] @ mats[2]
+
+
+def matrix_to_euler(m: jnp.ndarray, convention: str = "XYZ") -> jnp.ndarray:
+    """Rotation matrices -> euler angles for the XYZ convention."""
+    assert convention == "XYZ"
+    sy = jnp.clip(-m[..., 2, 0], -1.0, 1.0)
+    y = jnp.arcsin(sy)
+    x = jnp.arctan2(m[..., 2, 1], m[..., 2, 2])
+    z = jnp.arctan2(m[..., 1, 0], m[..., 0, 0])
+    return jnp.stack([x, y, z], axis=-1)

@@ -105,174 +105,226 @@ def _chunk_alpha(chunk, valid, px, py):
     return jnp.where(keep, alpha, 0.0), dx, dy, power
 
 
+TPC = 8  # tiles (subtiles) per grid cell — amortizes per-cell pipeline
+#          overhead and keeps the DMA stream continuous across tiles
+
+
+def _cell_tables(starts_ref, counts_ref, t0, tpc):
+    """Unrolled per-subtile scalar tables for one cell: chunk counts and
+    cumulative chunk offsets (all SMEM scalars)."""
+    counts = [counts_ref[t0 + s] for s in range(tpc)]
+    nch = [(c + CHUNK - 1) // CHUNK for c in counts]
+    cum = [None] * tpc
+    acc = nch[0] * 0
+    for s in range(tpc):
+        cum[s] = acc
+        acc = acc + nch[s]
+    starts = [starts_ref[t0 + s] for s in range(tpc)]
+    return counts, nch, cum, acc  # acc == total chunks in cell
+
+
+def _chunk_ctx(k, counts, nch, cum, starts, tpc):
+    """Map a flat cell-chunk index k -> (subtile s, local chunk ci,
+    DMA start address, subtile count, subtile chunk count), via
+    unrolled scalar selects."""
+    s = k * 0
+    for i in range(1, tpc):
+        s = jnp.where(k >= cum[i], i, s)
+    def sel(tab):
+        v = tab[0]
+        for i in range(1, tpc):
+            v = jnp.where(k >= cum[i], tab[i], v)
+        return v
+    ci = k - sel(cum)
+    start = pl.multiple_of(sel(starts), CHUNK) + ci * CHUNK
+    return s, ci, start, sel(counts), sel(nch)
+
+
 def _fwd_kernel(starts_ref, counts_ref,          # scalar prefetch (SMEM)
                 inst_hbm,                        # (N_FEAT, I) in HBM/ANY
                 bg_ref,                          # (8, 1) VMEM (rows 3+ zero)
-                out_ref,                         # (8, P): rows 0-2 rgb,
-                #                                  row 3 logT, rest junk
+                out_ref,                         # (TPC, 8, P) block
                 buf, sems,                       # scratch
-                *, nx, tile, n_chunks_max):
-    t = pl.program_id(0)
+                *, nx, tile, tpc):
+    c = pl.program_id(0)
     P = tile * tile
-    start = pl.multiple_of(starts_ref[t], CHUNK)
-    count = counts_ref[t]
-    n_chunks = (count + CHUNK - 1) // CHUNK
-    px, py = _tile_pixels(t, nx, tile)
+    t0 = c * tpc
+    counts, nch, cum, total = _cell_tables(starts_ref, counts_ref, t0, tpc)
 
-    def get_dma(slot, ci):
+    # pre-fill every subtile with the empty-tile result (pure bg, logT=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
+    bg_full = jnp.broadcast_to(bg_ref[:, :], (8, P))
+    empty = jnp.where(row < 3, bg_full, 0.0)
+    for s in range(tpc):
+        out_ref[s, :, :] = empty
+
+    def get_dma(slot, k):
+        _, _, start, _, _ = _chunk_ctx(k, counts, nch, cum,
+                                       [starts_ref[t0 + i]
+                                        for i in range(tpc)], tpc)
         return pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
-            buf.at[slot], sems.at[slot])
+            inst_hbm.at[:, pl.ds(start, CHUNK)], buf.at[slot],
+            sems.at[slot])
 
-    @pl.when(n_chunks > 0)
+    @pl.when(total > 0)
     def _():
         get_dma(0, 0).start()
 
-    def body(ci, carry):
+    def body(k, carry):
         color, log_t = carry                          # (8, P), (P, 1)
-        slot = ci % 2
+        slot = k % 2
 
-        @pl.when(ci + 1 < n_chunks)
+        @pl.when(k + 1 < total)
         def _():
-            get_dma(1 - slot, ci + 1).start()
+            get_dma(1 - slot, k + 1).start()
 
-        get_dma(slot, ci).wait()
+        get_dma(slot, k).wait()
         chunk = buf[slot]
 
+        s, ci, _, count_s, nch_s = _chunk_ctx(
+            k, counts, nch, cum,
+            [starts_ref[t0 + i] for i in range(tpc)], tpc)
+        reset = (ci == 0)
+        color = jnp.where(reset, 0.0, color)
+        log_t = jnp.where(reset, 0.0, log_t)
+
+        t = t0 + s
+        px, py = _tile_pixels(t, nx, tile)
+
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        valid = (lane < (count - ci * CHUNK)).astype(jnp.float32)
+        valid = (lane < (count_s - ci * CHUNK)).astype(jnp.float32)
 
         alpha, _, _, _ = _chunk_alpha(chunk, valid, px, py)
         la = jnp.log1p(-alpha)                        # (P, CHUNK)
-        # exclusive prefix within chunk + carry (MXU triangular matmul)
         pre = jnp.dot(la, _tri_excl(),
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST) + log_t
         trans = jnp.exp(jnp.maximum(pre, _LOG_EPS))
         w = alpha * trans                             # (P, CHUNK)
-        # chunk[0:8] = [r g b op mx my ca cb]: rows 3+ of the product are
-        # junk, but only rows 0-2 of `color` are ever read back
         color = color + jax.lax.dot_general(
             chunk[0:8, :], w, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)       # (8, P)
+            precision=jax.lax.Precision.HIGHEST)      # (8, P)
         log_t = log_t + jnp.sum(la, axis=1, keepdims=True)
+
+        @pl.when(ci == nch_s - 1)
+        def _():
+            t_fin = jnp.exp(jnp.maximum(log_t, _LOG_EPS))
+            bg_term = jax.lax.dot_general(
+                bg_ref[:, :], t_fin,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            logt8 = jax.lax.dot_general(
+                jnp.ones((8, 1), jnp.float32), log_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            out_ref[pl.ds(s, 1), :, :] = jnp.where(
+                row < 3, color + bg_term, logt8)[None]
         return color, log_t
 
     color0 = jnp.zeros((8, P), jnp.float32)
     logt0 = jnp.zeros((P, 1), jnp.float32)
-    color, log_t = jax.lax.fori_loop(0, n_chunks, body, (color0, logt0))
-
-    t_fin = jnp.exp(jnp.maximum(log_t, _LOG_EPS))     # (P, 1)
-    # outer products lift the (P,1) columns into rows without a relayout
-    bg_term = jax.lax.dot_general(                     # (8, P)
-        bg_ref[:, :], t_fin, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-    logt8 = jax.lax.dot_general(                       # (8, P), rows equal
-        jnp.ones((8, 1), jnp.float32), log_t,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
-    out_ref[:, :] = jnp.where(row < 3, color + bg_term, logt8)
+    jax.lax.fori_loop(0, total, body, (color0, logt0))
 
 
 def _bwd_kernel(starts_ref, counts_ref,
                 inst_hbm,                        # (N_FEAT, I)
                 bg_ref,                          # (8, 1) (rows 3+ zero)
-                fout_ref,                        # (8, P) block: fwd output
-                gout_ref,                        # (8, P) block: dL/dout
+                fout_ref,                        # (TPC, 8, P): fwd output
+                gout_ref,                        # (TPC, 8, P): dL/dout
                 ginst_hbm,                       # (N_FEAT, I) output in HBM
                 buf, gbuf, sems, gsems,
-                *, nx, tile, n_chunks_max):
-    t = pl.program_id(0)
+                *, nx, tile, tpc):
+    c = pl.program_id(0)
     P = tile * tile
-    start = pl.multiple_of(starts_ref[t], CHUNK)
-    count = counts_ref[t]
-    n_chunks = (count + CHUNK - 1) // CHUNK
-    px, py = _tile_pixels(t, nx, tile)
+    t0 = c * tpc
+    counts, nch, cum, total = _cell_tables(starts_ref, counts_ref, t0, tpc)
+    starts = [starts_ref[t0 + i] for i in range(tpc)]
     ones11 = jnp.ones((1, 1), jnp.float32)
-
-    def row_to_col(row):                              # (1, P) -> (P, 1)
-        return jax.lax.dot_general(
-            row, ones11, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-
-    g = gout_ref[:, :]                                # (8, P); rows 3+ == 0
     row = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
-    g = jnp.where(row < 3, g, 0.0)
-    # final log-transmittance lives in row 3 of the forward output
-    logt_row = jnp.sum(
-        jnp.where(row == 3, fout_ref[:, :], 0.0), axis=0, keepdims=True)
-    log_t_fin = row_to_col(logt_row)                  # (P, 1)
-    t_fin = jnp.exp(jnp.maximum(log_t_fin, _LOG_EPS))
-    g_bg = row_to_col(jnp.sum(g * bg_ref[:, :], axis=0,
-                              keepdims=True))         # (P, 1)
 
-    def get_dma(slot, ci):
-        return pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
-            buf.at[slot], sems.at[slot])
+    def row_to_col(r):                                # (1, P) -> (P, 1)
+        return jax.lax.dot_general(
+            r, ones11, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
-    def put_dma(slot, ci):
+    def get_dma(slot, k):
+        _, _, start, _, _ = _chunk_ctx(k, counts, nch, cum, starts, tpc)
         return pltpu.make_async_copy(
-            gbuf.at[slot],
-            ginst_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            inst_hbm.at[:, pl.ds(start, CHUNK)], buf.at[slot],
+            sems.at[slot])
+
+    def put_dma(slot, k):
+        _, _, start, _, _ = _chunk_ctx(k, counts, nch, cum, starts, tpc)
+        return pltpu.make_async_copy(
+            gbuf.at[slot], ginst_hbm.at[:, pl.ds(start, CHUNK)],
             gsems.at[slot])
 
-    @pl.when(n_chunks > 0)
+    @pl.when(total > 0)
     def _():
-        get_dma(0, n_chunks - 1).start()
+        get_dma(0, total - 1).start()
 
-    # reverse chunk walk. carries:
-    #  suf_log: suffix sum of log1p(-alpha) over instances AFTER this chunk
-    #  suf_s:   per-pixel suffix accumulator S = sum_{k>i} w_k (g.c_k)
-    #           + (g.bg) T_fin, built as we walk back
+    # reverse walk over the cell's flattened chunk list; carries reset at
+    # subtile boundaries (first visit of a subtile is its LAST chunk)
     def body(i, carry):
-        ci = n_chunks - 1 - i
+        k = total - 1 - i
         suf_log, suf_s = carry
         slot = i % 2
 
-        @pl.when(i + 1 < n_chunks)
+        @pl.when(i + 1 < total)
         def _():
-            get_dma(1 - slot, ci - 1).start()
+            get_dma(1 - slot, k - 1).start()
 
-        get_dma(slot, ci).wait()
+        get_dma(slot, k).wait()
         chunk = buf[slot]
 
+        s, ci, _, count_s, nch_s = _chunk_ctx(k, counts, nch, cum, starts,
+                                              tpc)
+        # per-subtile pixel grads + saved final logT (dynamic VMEM reads)
+        g = gout_ref[pl.ds(s, 1), :, :][0]            # (8, P)
+        g = jnp.where(row < 3, g, 0.0)
+        fout = fout_ref[pl.ds(s, 1), :, :][0]
+        logt_row = jnp.sum(jnp.where(row == 3, fout, 0.0), axis=0,
+                           keepdims=True)             # (1, P)
+        log_t_fin = row_to_col(logt_row)              # (P, 1)
+        t_fin = jnp.exp(jnp.maximum(log_t_fin, _LOG_EPS))
+        g_bg = row_to_col(jnp.sum(g * bg_ref[:, :], axis=0, keepdims=True))
+
+        first_visit = (ci == nch_s - 1)
+        suf_log = jnp.where(first_visit, 0.0, suf_log)
+        suf_s = jnp.where(first_visit, g_bg * t_fin, suf_s)
+
+        t = t0 + s
+        px, py = _tile_pixels(t, nx, tile)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        valid = (lane < (count - ci * CHUNK)).astype(jnp.float32)
+        valid = (lane < (count_s - ci * CHUNK)).astype(jnp.float32)
 
         alpha, dx, dy, power = _chunk_alpha(chunk, valid, px, py)
         live = alpha > 0.0
         la = jnp.log1p(-alpha)
 
-        # suffix-inclusive log within this chunk + carried suffix
         suf_in = jnp.dot(la, _suf_excl(),
                          preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST) + la + suf_log
+                         precision=jax.lax.Precision.HIGHEST) + la + suf_log
         trans = jnp.exp(jnp.maximum(log_t_fin - suf_in, _LOG_EPS))  # T_i
         w = alpha * trans                              # (P, CHUNK)
 
-        # g . c_i per pixel: rows 3+ of g are zero so the op/mx/my/ca/cb
-        # rows of chunk[0:8] contribute nothing
         gc = jax.lax.dot_general(                      # (P, CHUNK)
             g, chunk[0:8, :], dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+            precision=jax.lax.Precision.HIGHEST)
 
-        # S_i (exclusive suffix of w*gc within chunk) + carried suf_s
         wgc = w * gc
         s_in = jnp.dot(wgc, _suf_excl(),
                        preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST) + suf_s
+                       precision=jax.lax.Precision.HIGHEST) + suf_s
 
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
         d_alpha = jnp.where(live, gc * trans - s_in / one_m, 0.0)
 
-        # alpha = min(0.99, op * exp(min(power, 0)))
         unclamped = (alpha < MAX_ALPHA)
         G = jnp.exp(jnp.minimum(power, 0.0))
         op = chunk[F_OP, :][None, :]
@@ -292,13 +344,10 @@ def _bwd_kernel(starts_ref, counts_ref,
         def red(x):                                    # (1, CHUNK)
             return jnp.sum(x, axis=0, keepdims=True)
 
-        # rgb grads occupy rows 0-2 (rows 3-7 are zero since g rows 3+
-        # are zero); scalar grads occupy rows 3-8; sum of the two
-        # disjoint-support halves assembles the (N_FEAT, CHUNK) grad
         d_rgb = jax.lax.dot_general(                   # (8, CHUNK)
             g, w, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+            precision=jax.lax.Precision.HIGHEST)
         d_rgb16 = jnp.concatenate(
             [d_rgb, jnp.zeros((N_FEAT - 8, CHUNK), jnp.float32)], axis=0)
         scal16 = jnp.concatenate(
@@ -310,27 +359,24 @@ def _bwd_kernel(starts_ref, counts_ref,
 
         @pl.when(i >= 2)
         def _():
-            put_dma(slot, 0).wait()  # waits the slot's previous write
+            put_dma(slot, k).wait()  # waits the slot's previous write
         gbuf[slot] = gchunk
-        put_dma(slot, ci).start()
+        put_dma(slot, k).start()
 
-        # update carries: next (earlier) chunk sees this whole chunk as
-        # part of its suffix
         suf_log = suf_log + jnp.sum(la, axis=1, keepdims=True)
         suf_s = suf_s + jnp.sum(wgc, axis=1, keepdims=True)
         return suf_log, suf_s
 
     suf0 = jnp.zeros((P, 1), jnp.float32)
-    s0 = g_bg * t_fin
-    suf_log, suf_s = jax.lax.fori_loop(0, n_chunks, body, (suf0, s0))
+    jax.lax.fori_loop(0, total, body, (suf0, suf0))
 
-    @pl.when(n_chunks >= 2)
+    @pl.when(total >= 2)
     def _():
-        put_dma((n_chunks - 2) % 2, 0).wait()
+        put_dma((total - 2) % 2, 0).wait()
 
-    @pl.when(n_chunks >= 1)
+    @pl.when(total >= 1)
     def _():
-        put_dma((n_chunks - 1) % 2, 0).wait()
+        put_dma((total - 1) % 2, 0).wait()
 
 
 # ------------------------------------------------------------ XLA wrapper
@@ -361,45 +407,38 @@ def _interpret_default():
     return jax.default_backend() != "tpu"
 
 
-def _squeeze_block(kernel):
-    """Adapt kernel refs: grid block shapes carry a leading length-1 tile
-    axis; present 2-D views to the kernel body."""
-    def wrapped(*refs):
-        new_refs = []
-        for r in refs:
-            if hasattr(r, "shape") and len(r.shape) == 3 and r.shape[0] == 1:
-                new_refs.append(r.at[0])
-            else:
-                new_refs.append(r)
-        return kernel(*new_refs)
-    return wrapped
-
-
 def _bg8(bg):
     return jnp.concatenate([bg.reshape(3, 1), jnp.zeros((5, 1))], axis=0)
 
 
+def _pad_cells(starts, counts, T):
+    """Pad per-tile tables to a TPC multiple (pad tiles are empty)."""
+    cells = -(-T // TPC)
+    pad = cells * TPC - T
+    starts = jnp.pad(starts, (0, pad))
+    counts = jnp.pad(counts, (0, pad))
+    return starts, counts, cells
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _blend_pallas_core(inst, starts, counts, total, bg, nx, ny, tile):
-    """Returns (T, 8, P): rows 0-2 composited rgb, row 3 final logT."""
+    """Returns (T_pad, 8, P): rows 0-2 composited rgb, row 3 final logT."""
     return _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile)
 
 
 def _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile):
     P = tile * tile
-    T = nx * ny
-    n_chunks_max = pl.cdiv(inst.shape[1], CHUNK)
-    kernel = functools.partial(_fwd_kernel, nx=nx, tile=tile,
-                               n_chunks_max=n_chunks_max)
+    starts, counts, cells = _pad_cells(starts, counts, nx * ny)
+    kernel = functools.partial(_fwd_kernel, nx=nx, tile=tile, tpc=TPC)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(T,),
+        grid=(cells,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # inst stays HBM
-            pl.BlockSpec((8, 1), lambda t, *_: (0, 0),
+            pl.BlockSpec((8, 1), lambda c, *_: (0, 0),
                          memory_space=pltpu.VMEM),        # bg
         ],
-        out_specs=pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((TPC, 8, P), lambda c, *_: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, N_FEAT, CHUNK), jnp.float32),
@@ -407,9 +446,9 @@ def _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile):
         ],
     )
     return pl.pallas_call(
-        _squeeze_block(kernel),
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cells * TPC, 8, P), jnp.float32),
         interpret=_interpret_default(),
     )(starts, counts, inst, _bg8(bg))
 
@@ -422,20 +461,18 @@ def _blend_core_fwd(inst, starts, counts, total, bg, nx, ny, tile):
 def _blend_core_bwd(nx, ny, tile, res, g_out):
     inst, starts, counts, total, bg, fwd_out = res
     P = tile * tile
-    T = nx * ny
-    n_chunks_max = pl.cdiv(inst.shape[1], CHUNK)
-    kernel = functools.partial(_bwd_kernel, nx=nx, tile=tile,
-                               n_chunks_max=n_chunks_max)
+    starts, counts, cells = _pad_cells(starts, counts, nx * ny)
+    kernel = functools.partial(_bwd_kernel, nx=nx, tile=tile, tpc=TPC)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(T,),
+        grid=(cells,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # inst
-            pl.BlockSpec((8, 1), lambda t, *_: (0, 0),
+            pl.BlockSpec((8, 1), lambda c, *_: (0, 0),
                          memory_space=pltpu.VMEM),        # bg
-            pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((TPC, 8, P), lambda c, *_: (c, 0, 0),
                          memory_space=pltpu.VMEM),        # fwd out (logT)
-            pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((TPC, 8, P), lambda c, *_: (c, 0, 0),
                          memory_space=pltpu.VMEM),        # g_out
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),   # ginst in HBM
@@ -447,7 +484,7 @@ def _blend_core_bwd(nx, ny, tile, res, g_out):
         ],
     )
     ginst = pl.pallas_call(
-        _squeeze_block(kernel),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(inst.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -459,8 +496,8 @@ def _blend_core_bwd(nx, ny, tile, res, g_out):
     col = jnp.arange(inst.shape[1])[None, :]
     ginst = jnp.where(col < total, ginst, 0.0)
 
-    # bg grad: sum over pixels of g . T_fin
-    t_fin = jnp.exp(jnp.maximum(fwd_out[:, 3:4, :], _LOG_EPS))  # (T, 1, P)
+    # bg grad: sum over pixels of g . T_fin (row 3 of fwd_out is logT)
+    t_fin = jnp.exp(jnp.maximum(fwd_out[:, 3:4, :], _LOG_EPS))
     g_bg = jnp.sum(g_out[:, :3, :] * t_fin, axis=(0, 2))        # (3,)
     return ginst, None, None, None, g_bg
 
@@ -478,6 +515,7 @@ def blend_tiles_pallas(pg: ProjectedGaussians, bins: TileBins, width: int,
     itself uses the custom-VJP kernel pair.
     """
     nx, ny = tile_grid(width, height, tile)
+    T = nx * ny
 
     inst = _pack_instances(pg, bins)
     # segments are CHUNK-aligned (tiles.ALIGN == CHUNK); pad the array
@@ -489,7 +527,7 @@ def blend_tiles_pallas(pg: ProjectedGaussians, bins: TileBins, width: int,
     total = bins.aligned_total.astype(jnp.int32)
 
     out = _blend_pallas_core(inst, bins.starts, counts, total, bg,
-                             nx, ny, tile)                # (T, 8, P)
-    img = out[:, :3, :].reshape(ny, nx, 3, tile, tile)
+                             nx, ny, tile)                # (T_pad, 8, P)
+    img = out[:T, :3, :].reshape(ny, nx, 3, tile, tile)
     img = img.transpose(2, 0, 3, 1, 4).reshape(3, ny * tile, nx * tile)
     return jnp.clip(img[:, :height, :width], 0.0, 1.0)

@@ -65,9 +65,9 @@ def render(
         overflowed = jnp.bool_(False)
     elif backend in ("tiled", "pallas"):
         if tile is None:
-            # 32x32 tiles suit the Pallas kernel (4x fewer grid cells,
-            # ~2x fewer duplicated instances); 16x16 suits the padded
-            # XLA path (smaller per-tile capacity waste)
+            # 32x32 tiles win for the Pallas kernel (fewest duplicated
+            # instances; multi-tile cells amortize the per-tile cost);
+            # 16x16 suits the capacity-padded XLA path
             tile = 32 if backend == "pallas" else TILE
         n = means3d.shape[0]
         budget = instance_budget or max(4 * n, 1 << 16)

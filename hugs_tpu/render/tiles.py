@@ -27,13 +27,24 @@ ALIGN = 128  # per-tile segments start at multiples of this (the Pallas
 #              provably lane-aligned dynamic slices)
 
 
+def pltpu_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> order-preserving int32 bits (lets float depth ride the
+    combined int32 gather batch): flip negative values' magnitude."""
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jnp.where(b < 0, jnp.int32(-2147483648) - b - 1, b)
+
+
+def sortable_bits_to_f32(b: jnp.ndarray) -> jnp.ndarray:
+    inv = jnp.where(b < 0, jnp.int32(-2147483648) - b - 1, b)
+    return jax.lax.bitcast_convert_type(inv, jnp.float32)
+
+
 class TileBins(NamedTuple):
     # Sorted, segment-ALIGNED Gaussian instance list + per-tile ranges.
     # Tile t owns slots [starts[t], starts[t] + roundup(count_t, ALIGN));
     # the first count_t = ends[t]-starts[t] are valid, the rest padding
     # (gauss_id 0, masked by count everywhere).
     gauss_id: jnp.ndarray   # (I_align,) int32 index into Gaussian arrays
-    tile_id: jnp.ndarray    # (I_align,) int32 (== num_tiles for padding)
     starts: jnp.ndarray     # (T,) int32 ALIGN-multiple segment start
     ends: jnp.ndarray       # (T,) int32 starts + valid count
     n_instances: jnp.ndarray  # () int32 total valid instances (may exceed
@@ -76,19 +87,56 @@ def bin_gaussians(pg: ProjectedGaussians, width: int, height: int,
     offsets = jnp.cumsum(counts) - counts          # exclusive
     total = offsets[-1] + counts[-1] if n else jnp.int32(0)
 
-    gid = jnp.repeat(jnp.arange(n, dtype=jnp.int32), counts,
-                     total_repeat_length=budget)
     slot = jnp.arange(budget, dtype=jnp.int32)
     valid = slot < total
-    rank = slot - offsets[gid]                      # instance rank within its Gaussian
-    gw = jnp.maximum(w[gid], 1)
-    tx = tx0[gid] + rank % gw
-    ty = ty0[gid] + rank // gw
-    tile_ids = jnp.where(valid, ty * nx + tx, num_tiles).astype(jnp.int32)
 
-    depth = pg.depth[gid]
-    tile_sorted, depth_sorted, gid_sorted = jax.lax.sort(
-        (tile_ids, depth, gid), num_keys=2)
+    # Instance expansion WITHOUT per-instance gathers (profiled at ~2ms
+    # each on TPU): scatter per-Gaussian run markers at each run start
+    # (50k cheap updates) and flood-fill with cummax — both `gid` and the
+    # run-start offsets are non-decreasing along the instance axis.
+    g_idx = jnp.arange(n, dtype=jnp.int32)
+    safe_offs = jnp.where(counts > 0, offsets, budget)
+    marks_g = jnp.zeros(budget, jnp.int32).at[safe_offs].max(
+        g_idx + 1, mode="drop")
+    gid = jax.lax.cummax(marks_g) - 1                     # (I,)
+    marks_o = jnp.zeros(budget, jnp.int32).at[safe_offs].max(
+        offsets, mode="drop")
+    run_start = jax.lax.cummax(marks_o)
+    rank = slot - run_start
+
+    single_key = n * (num_tiles + 1) < 2 ** 31
+    if single_key:
+        order = jnp.argsort(pg.depth)
+        depth_rank = jnp.zeros(n, jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+    else:
+        depth_rank = jnp.zeros(n, jnp.int32)
+
+    # ONE combined column gather for the remaining per-Gaussian data
+    # (vector-layout (I, k) gathers are ~10x cheaper than k separate
+    # element-granularity 1D gathers).
+    per_g = jnp.stack([jnp.maximum(w, 1), tx0, ty0, depth_rank,
+                       pltpu_bits(pg.depth)], axis=0)     # (5, N) int32
+    cols = per_g[:, jnp.maximum(gid, 0)]                  # (5, I)
+    gw = cols[0]
+    tx = cols[1] + rank % gw
+    ty = cols[2] + rank // gw
+    tile_ids = jnp.where(valid & (gid >= 0), ty * nx + tx,
+                         num_tiles).astype(jnp.int32)
+    depth_rank_i = cols[3]
+    gid = jnp.maximum(gid, 0)
+
+    # Sort instances into (tile, depth) order. When tile*n fits int32,
+    # instances sort once on the packed int32 (tile, depth-rank) key —
+    # ~2x faster than a 2-key 3-operand sort.
+    if single_key:
+        key = tile_ids * jnp.int32(n) + depth_rank_i
+        key_sorted, gid_sorted = jax.lax.sort((key, gid), num_keys=1)
+        tile_sorted = key_sorted // jnp.int32(n)
+    else:
+        depth = sortable_bits_to_f32(cols[4])
+        tile_sorted, _, gid_sorted = jax.lax.sort(
+            (tile_ids, depth, gid), num_keys=2)
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     raw_starts = jnp.searchsorted(tile_sorted, tids,
@@ -96,21 +144,24 @@ def bin_gaussians(pg: ProjectedGaussians, width: int, height: int,
     raw_ends = jnp.searchsorted(tile_sorted, tids,
                                 side='right').astype(jnp.int32)
 
-    # re-layout into ALIGN-aligned per-tile segments
+    # re-layout into ALIGN-aligned per-tile segments. delta (the shift of
+    # a tile's run) is the accumulated alignment waste — NON-DECREASING —
+    # so it flood-fills over the instance axis with scatter+cummax
+    # instead of a per-instance table gather.
     counts = raw_ends - raw_starts
     seg = ((counts + ALIGN - 1) // ALIGN) * ALIGN
     astarts = (jnp.cumsum(seg) - seg).astype(jnp.int32)
     i_align = budget + ALIGN * num_tiles        # static worst case
-    delta = astarts - raw_starts                # (T,)
-    tclip = jnp.clip(tile_sorted, 0, num_tiles - 1)
-    newpos = jnp.arange(budget, dtype=jnp.int32) + delta[tclip]
+    delta = astarts - raw_starts                # (T,) >= 0, non-decreasing
+    mark_pos = jnp.where(counts > 0, raw_starts, budget)
+    dmarks = jnp.zeros(budget, jnp.int32).at[mark_pos].max(
+        delta, mode="drop")
+    newpos = jnp.arange(budget, dtype=jnp.int32) + jax.lax.cummax(dmarks)
     newpos = jnp.where(tile_sorted < num_tiles, newpos, i_align)
     gauss_al = jnp.zeros(i_align, jnp.int32).at[newpos].set(
         gid_sorted, mode="drop")
-    tile_al = jnp.full(i_align, num_tiles, jnp.int32).at[newpos].set(
-        tile_sorted, mode="drop")
 
-    return TileBins(gauss_id=gauss_al, tile_id=tile_al, starts=astarts,
+    return TileBins(gauss_id=gauss_al, starts=astarts,
                     ends=astarts + counts, n_instances=total,
                     aligned_total=astarts[-1] + seg[-1],
                     overflowed=total > budget)

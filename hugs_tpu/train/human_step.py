@@ -113,7 +113,7 @@ def distill_init(params: hgs.HumanGS, state: hgs.HumanGSState,
 
 
 @partial(jax.jit, static_argnames=("cfg", "loss_fn", "width", "height",
-                                   "backend", "instance_budget", "tile_cap"))
+                                   "backend", "instance_budget", "tile_cap", "tile"))
 def human_train_step(
     tstate: HumanTrainState,
     fixed: hgs.HumanGSFixed,
@@ -136,6 +136,7 @@ def human_train_step(
     backend: str = "tiled",
     instance_budget: int = 0,
     tile_cap: int = 1024,
+    tile: int | None = None,
 ):
     state = tstate.state
     cap = tstate.params.xyz.shape[0]
@@ -151,7 +152,7 @@ def human_train_step(
                      alive=out["alive"], mean2d_grad_hook=hook,
                      backend=backend,
                      instance_budget=instance_budget or 4 * cap,
-                     tile_cap=tile_cap)
+                     tile_cap=tile_cap, tile=tile)
         data = {"rgb": gt_image, "mask": gt_mask}
         lf = loss_fn._replace(lpips=lpips) if lpips is not None else loss_fn
         total, loss_dict, extras = lf(

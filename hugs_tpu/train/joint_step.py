@@ -30,7 +30,7 @@ class JointTrainState(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg", "loss_fn", "width", "height",
-                                   "backend", "instance_budget", "tile_cap",
+                                   "backend", "instance_budget", "tile_cap", "tile",
                                    "render_human_separate", "optim_scene"))
 def joint_train_step(
     jstate: JointTrainState,
@@ -56,6 +56,7 @@ def joint_train_step(
     backend: str = "tiled",
     instance_budget: int = 0,
     tile_cap: int = 1024,
+    tile: int | None = None,
     render_human_separate: bool = False,
     optim_scene: bool = True,
 ):
@@ -77,7 +78,7 @@ def joint_train_step(
             render_human_separate=render_human_separate,
             backend=backend, mean2d_grad_hook=hook,
             instance_budget=instance_budget or 4 * (h_cap + s_cap),
-            tile_cap=tile_cap)
+            tile_cap=tile_cap, tile=tile)
         lf = loss_fn._replace(lpips=lpips) if lpips is not None else loss_fn
         total, loss_dict, _ = lf(key, data, pkg, h_out,
                                  render_mode="human_scene", bg_color=bg,

@@ -57,7 +57,7 @@ def init_scene_train_state(gs: sgs.SceneGS) -> SceneTrainState:
 
 
 @partial(jax.jit, static_argnames=("width", "height", "l1_w", "ssim_w",
-                                   "backend", "instance_budget", "tile_cap"))
+                                   "backend", "instance_budget", "tile_cap", "tile"))
 def scene_train_step(
     state: SceneTrainState,
     camera: Camera,
@@ -73,6 +73,7 @@ def scene_train_step(
     backend: str = "tiled",
     instance_budget: int = 0,
     tile_cap: int = 1024,
+    tile: int | None = None,
 ):
     gs = state.gs
     params = sgs.params_of(gs)
@@ -87,7 +88,7 @@ def scene_train_step(
                      alive=out["alive"], mean2d_grad_hook=hook,
                      backend=backend,
                      instance_budget=instance_budget or 4 * gs.capacity,
-                     tile_cap=tile_cap)
+                     tile_cap=tile_cap, tile=tile)
         img = pkg["render"]
         loss = l1_w * l1_loss(img, gt_image) + \
             ssim_w * (1.0 - ssim(img, gt_image))

@@ -189,6 +189,10 @@ class GaussianTrainer:
                 log.append({"iter": t_iter,
                             "loss": float(aux["loss"]),
                             "elapsed_s": time.time() - t_start})
+                if bool(aux.get("overflowed", False)):
+                    print(f"WARNING: tile-instance budget overflow at "
+                          f"iter {t_iter} — raise tpu.instance_budget "
+                          f"(dropped Gaussian instances degrade quality)")
             self._periodic(t_iter, aux)
         return log
 
@@ -444,3 +448,36 @@ class GaussianTrainer:
         if scene is not None:
             self.scene = scene
         return True
+
+
+def render_poses(trainer: "GaussianTrainer", camera_params: list,
+                 smpl_params: dict, bg_color: str = "white"):
+    """Batch-render the avatar under given cameras/poses with the
+    canonical decode computed ONCE (reference render_poses + forward_test,
+    gs_trainer.py:686-747) — the inference-time fast path."""
+    import jax.numpy as jnp
+    import numpy as np
+    from hugs_tpu.models import human_gs as hgs
+    from hugs_tpu.render import render_human_scene
+
+    bg = jnp.ones(3) if bg_color == "white" else jnp.zeros(3)
+    canon = hgs.canon_forward(trainer.human.params, trainer.human.state,
+                              trainer.human_cfg)
+    imgs = []
+    for idx, cp in enumerate(camera_params):
+        data = dict(smpl_params, **cp)
+        h_out = hgs.human_forward(
+            trainer.human.params, trainer.human.state, trainer.fixed,
+            trainer.human_cfg, canon_out=canon,
+            global_orient=jnp.asarray(data["global_orient"]).reshape(3),
+            body_pose=jnp.asarray(data["body_pose"]).reshape(-1)[:69],
+            betas=jnp.asarray(data["betas"]).reshape(10),
+            transl=jnp.asarray(data["transl"]).reshape(3),
+            smpl_scale=jnp.asarray(data["smpl_scale"],
+                                   jnp.float32).reshape(()))
+        pkg = render_human_scene(
+            {"camera": data["camera"], "width": data["width"],
+             "height": data["height"]}, h_out, None, bg_color=bg,
+            render_mode="human", **trainer._render_kw())
+        imgs.append(np.asarray(pkg["render"]))
+    return imgs

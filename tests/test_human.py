@@ -146,3 +146,24 @@ def test_distillation_reduces_loss():
     ts2 = init_human_train_state(p2, state)
     _, loss1 = _distill_step(ts2, targets, jnp.float32(1e-3), cfg)
     assert float(loss1) < float(loss0) * 0.5, (float(loss0), float(loss1))
+
+
+def test_forward_with_cached_canon_matches():
+    """The forward_test fast path (canon decode cached) must equal the
+    full forward (reference forward_test vs forward parity)."""
+    key = jax.random.PRNGKey(3)
+    smpl = synthetic_smpl(verts_per_bone=12)
+    cfg = small_cfg(use_deformer=True, disable_posedirs=True)
+    params, state, fixed, _ = init_human_gs(
+        key, cfg, smpl, smpl, BETAS, n_frames=2, capacity=smpl.n_verts)
+    pose = jax.random.normal(jax.random.PRNGKey(4), (69,)) * 0.2
+    kw = dict(global_orient=ZORIENT, body_pose=pose, betas=BETAS,
+              transl=jnp.zeros(3), smpl_scale=jnp.float32(1.2),
+              dataset_idx=0)
+    full = human_forward(params, state, fixed, cfg, **kw)
+    from hugs_tpu.models.human_gs import canon_forward
+    cached = canon_forward(params, state, cfg)
+    fast = human_forward(params, state, fixed, cfg, canon_out=cached, **kw)
+    for k in ("xyz", "scales", "rotq", "shs", "opacity"):
+        np.testing.assert_allclose(np.asarray(fast[k]), np.asarray(full[k]),
+                                   atol=1e-6, err_msg=k)

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hugs_tpu.models import smpl as smpl_mod
+
 from hugs_tpu.models.smpl import SMPLModel, smpl_forward, lbs_extra, \
     vitruvian_pose
 from hugs_tpu.models.mesh import unique_edges, vertex_normals

@@ -15,7 +15,7 @@ training dynamics match the reference's starting point.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ verts (BASELINE.md).
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
+
 import numpy as np
 
 from hugs_tpu.models.smpl import SMPLModel, NUM_POSE_FEATURES, \

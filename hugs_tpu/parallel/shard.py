@@ -19,7 +19,7 @@ coordinates, binned against the band's tile grid.
 """
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

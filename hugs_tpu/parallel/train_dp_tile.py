@@ -17,7 +17,7 @@ docs) so the psum of band losses equals the full-image loss.
 """
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

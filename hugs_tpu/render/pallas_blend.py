@@ -5,15 +5,19 @@ CUDA rasterizer's renderCUDA/renderBackwardCUDA (the behavior spec is the
 call site hugs/renderer/gs_renderer.py:141-152), designed for the MXU/VPU
 rather than translated:
 
-  layout    pixels-in-sublanes (256 = 16x16 tile), instances-in-lanes
-            (chunks of 128 Gaussian instances). Zero in-kernel transposes.
-  prefix    front-to-back transmittance via log-space prefix sums computed
-            as a triangular-ones MATMUL on the MXU (cumsum-as-matmul),
-            not a sequential per-pixel loop.
-  stream    per-tile instance ranges (from tiles.bin_gaussians) are
-            DMA-streamed HBM->VMEM with double buffering; tiles with few
-            instances cost proportionally little (the XLA fallback pads
-            every tile to capacity).
+  layout    pixels-in-sublanes (tile*tile; 1024 at the default 32px
+            tile), instances-in-lanes (chunks of 128). Zero in-kernel
+            transposes — (P,1)<->(1,P) lifts ride tiny MXU outer
+            products instead of relayouts.
+  prefix    front-to-back transmittance via log-space prefix sums
+            computed as f32 triangular-ones MATMULs on the MXU
+            (cumsum-as-matmul), not a sequential per-pixel loop.
+  stream    each grid cell owns TPC=8 consecutive tiles; their aligned
+            instance segments (tiles.bin_gaussians) form one contiguous
+            chunk list that is DMA-streamed HBM->VMEM double-buffered
+            across tile boundaries. Tiles with few instances cost
+            proportionally little (the XLA fallback pads every tile to
+            capacity).
   backward  CUDA-style recompute: only the per-pixel final log-
             transmittance is saved; the bwd kernel re-evaluates alphas
             chunk-by-chunk in reverse, reconstructing T_i = exp(logT_fin
@@ -21,7 +25,7 @@ rather than translated:
             residuals ever hit HBM.
 
 Instance data is pre-gathered by XLA into a feature-major (16, I) array
-(rows: mx, my, conic a/b/c, opacity, r, g, b, radius, pad...); the
+(rows: r, g, b, opacity, mx, my, conic a/b/c, radius, pad...); the
 backward's per-instance grads scatter-add back to per-Gaussian arrays via
 XLA segment ops. Blending semantics (alpha clamp 0.99, 1/255 cutoff,
 radius cutoff, no T-threshold early term) are identical to
@@ -30,7 +34,7 @@ render/oracle.py — all three backends agree to fp tolerance.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+
 
 import jax
 import jax.numpy as jnp

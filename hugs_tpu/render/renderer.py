@@ -17,7 +17,7 @@ Differences from the reference, by design (TPU-first):
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any
 
 import jax

@@ -1,14 +1,20 @@
 """Tile binning for the splatting rasterizer, pure XLA ops.
 
 TPU-native replacement for the CUDA rasterizer's atomics-based
-duplicate-and-radix-sort binning: Gaussian->tile instance expansion with a
-STATIC instance budget (jnp.repeat with total_repeat_length), a
-lexicographic (tile, depth) jax.lax.sort, and searchsorted per-tile
-ranges. Everything is static-shaped, so it jits once and never recompiles
-as the live Gaussian set changes.
+duplicate-and-radix-sort binning, built from XLA-friendly primitives:
 
-Tiles are TILE x TILE pixels (default 16; 16x16=256 pixels = 2x128 lanes,
-and with f32 chunk math the blend kernel's VMEM footprint stays small).
+  1. instance expansion with a STATIC budget, gather-free: per-Gaussian
+     run markers scattered at run starts + cummax flood fill (budget-
+     sized 1D gathers lower to ~2ms element-granularity gathers on TPU);
+  2. ONE sort on a packed int32 (tile, depth-rank) key;
+  3. re-layout into ALIGN(=128)-aligned per-tile segments (the Pallas
+     blend DMA-streams whole chunks from provably aligned offsets, and
+     aligned segments make backward grad writes overlap-free), again via
+     scatter + cummax (the alignment shift is non-decreasing).
+
+Everything is static-shaped: it jits once and never recompiles as the
+live Gaussian set evolves. TILE=16 is the XLA-backend default; the
+Pallas backend uses 32 (fewer duplicated instances).
 """
 from __future__ import annotations
 

@@ -10,7 +10,7 @@ Covers the reference's two training loops for the human model:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ densification stats. All of that happens here in one jitted function.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

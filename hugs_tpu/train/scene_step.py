@@ -15,7 +15,7 @@ grads w.r.t. that hook alongside the model params — no .grad mutation.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

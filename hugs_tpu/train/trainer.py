@@ -33,12 +33,12 @@ from hugs_tpu.models.smpl import load_smpl, synthetic_smpl
 from hugs_tpu.models.subdivide import subdivide_smpl_model
 from hugs_tpu.render import render_human_scene
 from hugs_tpu.losses import HumanSceneLoss, LPIPS, psnr, ssim
-from hugs_tpu.train.optim import expon_lr
+
 from hugs_tpu.train.scene_step import (
-    SceneTrainState, init_scene_train_state, scene_train_step,
+    init_scene_train_state, scene_train_step,
     scene_densify_step, make_scene_lrs)
 from hugs_tpu.train.human_step import (
-    HumanTrainState, init_human_train_state, human_train_step,
+    init_human_train_state, human_train_step,
     human_densify_step, make_human_lrs, distill_init)
 from hugs_tpu.train.joint_step import JointTrainState, joint_train_step
 from hugs_tpu.train import checkpoint as ckpt_io

@@ -8,7 +8,7 @@ interoperability format of the 3DGS ecosystem (viewers, editors).
 from __future__ import annotations
 
 import os
-import struct
+
 
 import numpy as np
 

@@ -9,10 +9,10 @@ from hugs_tpu.parallel import make_mesh, render_tile_sharded, \
     batch_render_sharded
 from hugs_tpu.render import render, make_camera
 
-W, H = 64, 48
+W, H = 48, 32
 
 
-def make_scene(n=200, seed=0):
+def make_scene(n=120, seed=0):
     ks = jax.random.split(jax.random.PRNGKey(seed), 5)
     means = jax.random.uniform(ks[0], (n, 3), minval=-1, maxval=1)
     means = means.at[:, 2].set(means[:, 2] * 2 + 4.0)
@@ -35,28 +35,28 @@ def test_tile_sharded_matches_single_device():
     mesh = make_mesh()
     img_sh = render_tile_sharded(means, scales, rotq, opacity, shs, cam,
                                  W, H, mesh, bg=bg, active_sh_degree=3,
-                                 tile_cap=256)
+                                 tile_cap=128)
     img_1 = render(means, scales, rotq, opacity, shs, cam, W, H, bg=bg,
                    active_sh_degree=3, backend="tiled",
-                   tile_cap=256)["render"]
+                   tile_cap=128)["render"]
     np.testing.assert_allclose(np.asarray(img_sh), np.asarray(img_1),
                                atol=2e-5)
 
 
 def test_tile_sharded_gradients_match():
-    means, scales, rotq, opacity, shs, cam = make_scene(n=100)
+    means, scales, rotq, opacity, shs, cam = make_scene(n=60)
     bg = jnp.zeros(3)
     mesh = make_mesh()
     target = jax.random.uniform(jax.random.PRNGKey(7), (3, H, W))
 
     def loss_sh(m, o):
         img = render_tile_sharded(m, scales, rotq, o, shs, cam, W, H, mesh,
-                                  bg=bg, tile_cap=256)
+                                  bg=bg, tile_cap=128)
         return jnp.mean((img - target) ** 2)
 
     def loss_1(m, o):
         img = render(m, scales, rotq, o, shs, cam, W, H, bg=bg,
-                     backend="tiled", tile_cap=256)["render"]
+                     backend="tiled", tile_cap=128)["render"]
         return jnp.mean((img - target) ** 2)
 
     g_sh = jax.grad(loss_sh, argnums=(0, 1))(means, opacity)
@@ -67,7 +67,7 @@ def test_tile_sharded_gradients_match():
 
 
 def test_batch_render_sharded():
-    means, scales, rotq, opacity, shs, _ = make_scene(n=80)
+    means, scales, rotq, opacity, shs, _ = make_scene(n=60)
     mesh = make_mesh(axis_names=("data",))
     # 8 cameras (one per device): vary the x-offset
     ts = jnp.stack([jnp.array([0.1 * i - 0.35, 0.0, 0.0])
@@ -76,7 +76,7 @@ def test_batch_render_sharded():
 
     def render_one(cam):
         return render(means, scales, rotq, opacity, shs, cam, W, H,
-                      backend="tiled", tile_cap=256)["render"]
+                      backend="tiled", tile_cap=128)["render"]
 
     imgs = batch_render_sharded(render_one, cams, mesh)
     assert imgs.shape == (8, 3, H, W)

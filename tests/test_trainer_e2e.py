@@ -19,10 +19,10 @@ def env(tmp_path_factory):
     write_fake_neuman(root, n_frames=10, w=48, h=32)
     cfg = default_config()
     cfg.mode = "human_scene"
-    cfg.train.num_steps = 12
-    cfg.train.save_ckpt_interval = 10
+    cfg.train.num_steps = 9
+    cfg.train.save_ckpt_interval = 8
     cfg.train.val_interval = 1000
-    cfg.human.triplane_res = 32
+    cfg.human.triplane_res = 16
     cfg.human.n_subdivision = 0
     cfg.human.use_deformer = True
     cfg.human.disable_posedirs = True
@@ -33,7 +33,7 @@ def env(tmp_path_factory):
     cfg.scene.densify_from_iter = 4
     cfg.scene.densification_interval = 6
     cfg.tpu.scene_capacity = 256
-    cfg.tpu.human_capacity = 1024
+    cfg.tpu.human_capacity = 512
     cfg.tpu.tile_cap = 256
     cfg.tpu.instance_budget = 16384
     logdir = str(tmp_path_factory.mktemp("out"))
@@ -65,7 +65,7 @@ def test_trainer_full_cycle(env):
     assert "hugs_psnr" in metrics and np.isfinite(metrics["hugs_psnr"])
     assert "hugs_human_psnr" in metrics
 
-    # checkpoint written by the periodic hook at iter 10
+    # checkpoint written by the periodic hook at iter 8
     assert any(d.startswith("human_") for d in os.listdir(cfg.logdir_ckpt))
     assert any(d.startswith("scene_") for d in os.listdir(cfg.logdir_ckpt))
     # PLY exported

@@ -414,6 +414,7 @@ def densify_and_prune(
     max_screen_size: float | None,
     percent_dense: float = 0.01,
     split_n: int = 2,
+    max_n_gaussians: int | None = None,
 ):
     """Human densify/clone/split/prune (reference hugs_trimlp.py:794-878),
     fixed-capacity masked form. Only canonical `xyz` and the per-point
@@ -430,6 +431,8 @@ def densify_and_prune(
     max_scale = jnp.max(scales, axis=-1)
 
     hot = (grads >= grad_threshold) & state.alive
+    if max_n_gaussians is not None:
+        hot = hot & (jnp.sum(state.alive) <= max_n_gaussians)
     clone_sel = hot & (max_scale <= percent_dense * extent)
     split_sel = hot & (max_scale > percent_dense * extent)
     # elongated-gaussian filter (hugs_trimlp.py:820-823)

@@ -160,6 +160,7 @@ def densify_and_prune(
     max_screen_size: float | None,
     percent_dense: float = 0.01,
     split_n: int = 2,
+    max_n_gaussians: int | None = None,
 ) -> tuple[SceneGS, list[dict], dict]:
     """The full densify/clone/split/prune step as one pure function.
 
@@ -182,6 +183,10 @@ def densify_and_prune(
     max_scale = jnp.max(scales, axis=-1)
 
     hot = (grads >= grad_threshold) & gs.alive
+    if max_n_gaussians is not None:
+        # population guard (reference densify_and_prune, scene.py:445-449:
+        # skip clone/split once past max_n_gs; pruning still applies)
+        hot = hot & (jnp.sum(gs.alive) <= max_n_gaussians)
     clone_sel = hot & (max_scale <= percent_dense * extent)
     split_sel = hot & (max_scale > percent_dense * extent)
 

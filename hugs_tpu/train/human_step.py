@@ -179,7 +179,8 @@ def human_train_step(
 
 
 @partial(jax.jit, static_argnames=("grad_threshold", "min_opacity",
-                                   "max_screen_size", "percent_dense"))
+                                   "max_screen_size", "percent_dense",
+                                   "max_n_gaussians"))
 def human_densify_step(
     tstate: HumanTrainState,
     human_gs_out: dict,
@@ -190,12 +191,13 @@ def human_densify_step(
     min_opacity: float = 0.005,
     max_screen_size: float | None = 20.0,
     percent_dense: float = 0.01,
+    max_n_gaussians: int | None = None,
 ):
     mu, nu = tstate.opt.mu, tstate.opt.nu
     params, state, (mu_xyz, nu_xyz), info = hgs.densify_and_prune(
         tstate.params, tstate.state, [mu["xyz"], nu["xyz"]], human_gs_out,
         key, grad_threshold, min_opacity, extent, max_screen_size,
-        percent_dense)
+        percent_dense, max_n_gaussians=max_n_gaussians)
     opt = tstate.opt._replace(mu={**mu, "xyz": mu_xyz},
                               nu={**nu, "xyz": nu_xyz})
     return HumanTrainState(params=params, state=state, opt=opt), info

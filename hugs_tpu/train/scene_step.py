@@ -111,7 +111,7 @@ def scene_train_step(
 
 @partial(jax.jit, static_argnames=("grad_threshold", "min_opacity",
                                    "max_screen_size", "percent_dense",
-                                   "do_reset_opacity"))
+                                   "do_reset_opacity", "max_n_gaussians"))
 def scene_densify_step(
     state: SceneTrainState,
     key: jax.Array,
@@ -122,11 +122,12 @@ def scene_densify_step(
     max_screen_size: float | None = None,
     percent_dense: float = 0.01,
     do_reset_opacity: bool = False,
+    max_n_gaussians: int | None = None,
 ):
     moments = [state.opt.mu, state.opt.nu]
     gs, moments, info = sgs.densify_and_prune(
         state.gs, moments, key, grad_threshold, min_opacity, extent,
-        max_screen_size, percent_dense)
+        max_screen_size, percent_dense, max_n_gaussians=max_n_gaussians)
     if do_reset_opacity:
         gs, moments = sgs.reset_opacity(gs, moments)
     opt = state.opt._replace(mu=moments[0], nu=moments[1])

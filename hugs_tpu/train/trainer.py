@@ -257,7 +257,8 @@ class GaussianTrainer:
                 grad_threshold=cfg.scene.densify_grad_threshold,
                 min_opacity=cfg.scene.prune_min_opacity,
                 max_screen_size=size_thresh,
-                percent_dense=cfg.scene.percent_dense)
+                percent_dense=cfg.scene.percent_dense,
+                max_n_gaussians=int(cfg.scene.max_n_gaussians))
         is_white = float(self.bg_color.sum()) == 3.0
         if it % cfg.scene.opacity_reset_interval == 0 or \
                 (is_white and it == cfg.scene.densify_from_iter):
@@ -283,7 +284,8 @@ class GaussianTrainer:
                 grad_threshold=cfg.human.densify_grad_threshold,
                 min_opacity=cfg.human.prune_min_opacity,
                 max_screen_size=20.0,
-                percent_dense=cfg.human.lr.percent_dense)
+                percent_dense=cfg.human.lr.percent_dense,
+                max_n_gaussians=int(cfg.human.max_n_gaussians))
 
     def _periodic(self, t_iter, aux):
         cfg = self.cfg

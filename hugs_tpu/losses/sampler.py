@@ -27,7 +27,7 @@ def sample_patches(key: jax.Array, mask: jnp.ndarray, images: list,
         mask = mask[0]
     H, W = mask.shape
     o = patch_size // 2
-    k_mode, k_pick, k_unif = jax.random.split(key, 3)
+    k_mode, k_pick, k_ux, k_uy = jax.random.split(key, 4)
 
     # valid centers: mask>0 away from borders (reference crops o:-o)
     valid = (mask > 0)
@@ -44,8 +44,8 @@ def sample_patches(key: jax.Array, mask: jnp.ndarray, images: list,
     # fall back to uniform if the mask has too few valid pixels
     enough = jnp.sum(valid) >= num_patches
 
-    ux = jax.random.randint(k_unif, (num_patches,), 0, max(H - patch_size, 1))
-    uy = jax.random.randint(k_unif, (num_patches,), 0, max(W - patch_size, 1))
+    ux = jax.random.randint(k_ux, (num_patches,), 0, max(H - patch_size, 1))
+    uy = jax.random.randint(k_uy, (num_patches,), 0, max(W - patch_size, 1))
 
     use_mask = (jax.random.uniform(k_mode) < ratio_mask) & enough
     xs = jnp.where(use_mask, jnp.clip(mx - o, 0, H - patch_size), ux)

@@ -75,9 +75,13 @@ def render(
         if backend == "pallas":
             from hugs_tpu.render.pallas_blend import blend_tiles_pallas
             img = blend_tiles_pallas(pg, bins, width, height, bg, tile)
+            overflowed = bins.overflowed
         else:
+            from hugs_tpu.render.blend import tile_overflow
             img = blend_tiles(pg, bins, width, height, bg, tile_cap, tile)
-        overflowed = bins.overflowed
+            # the XLA path additionally truncates any tile denser than
+            # tile_cap (blend.py one_tile) — surface that too
+            overflowed = bins.overflowed | tile_overflow(bins, tile_cap)
     else:
         raise ValueError(f"unknown backend: {backend}")
 
@@ -139,6 +143,12 @@ def render_human_scene(
                  backend=backend, **render_kw)
 
     if render_human_separate and render_mode == "human_scene":
+        # The densification hook (if any) is sized for the MERGED set; the
+        # separate human pass has only h_cap Gaussians, and the reference
+        # takes viewspace grads from the main pass only
+        # (gs_trainer.py:316-342) — so drop the hook here.
+        sep_kw = {k: v for k, v in render_kw.items()
+                  if k != "mean2d_grad_hook"}
         hpkg = render(human_gs_out["xyz"], human_gs_out["scales"],
                       human_gs_out["rotq"], human_gs_out["opacity"],
                       human_gs_out["shs"], camera, width, height,
@@ -146,7 +156,7 @@ def render_human_scene(
                       active_sh_degree=human_gs_out["active_sh_degree"],
                       scaling_modifier=scaling_modifier,
                       alive=human_gs_out.get("alive"),
-                      backend=backend, **render_kw)
+                      backend=backend, **sep_kw)
         pkg["human_img"] = hpkg["render"]
         pkg["human_visibility_filter"] = hpkg["visibility_filter"]
         pkg["human_radii"] = hpkg["radii"]

@@ -166,8 +166,11 @@ def human_train_step(
     lrs = dict(static_lrs, xyz=xyz_lr)
     new_params, new_opt = group_adam_update(
         grads._asdict(), tstate.opt, tstate.params._asdict(), lrs)
+    # pixel-space -> reference viewspace units (0.5*W / 0.5*H scale);
+    # see scene_step.py for the unit convention.
+    vs_grad = hook_grad * jnp.array([0.5 * width, 0.5 * height])
     new_state = hgs.add_densification_stats(
-        state, hook_grad, pkg["radii"], pkg["visibility_filter"])
+        state, vs_grad, pkg["radii"], pkg["visibility_filter"])
 
     aux = {"loss": loss, "loss_dict": loss_dict,
            "overflowed": pkg["overflowed"],

@@ -105,11 +105,14 @@ def joint_train_step(
         s_opt, new_s_gs = sstate.opt, sstate.gs
 
     # --- densification stats, split human-first (gs_renderer.py:84-98) ---
+    # pixel-space -> reference viewspace units (0.5*W / 0.5*H scale);
+    # see scene_step.py for the unit convention.
+    vs_grad = hook_grad * jnp.array([0.5 * width, 0.5 * height])
     new_h_state = hgs.add_densification_stats(
-        hstate.state, hook_grad[:h_cap], pkg["human_radii"],
+        hstate.state, vs_grad[:h_cap], pkg["human_radii"],
         pkg["human_visibility_filter"])
     new_s_gs = sgs.add_densification_stats(
-        new_s_gs, hook_grad[h_cap:], pkg["scene_radii"],
+        new_s_gs, vs_grad[h_cap:], pkg["scene_radii"],
         pkg["scene_visibility_filter"])
 
     aux = {"loss": loss, "loss_dict": loss_dict,

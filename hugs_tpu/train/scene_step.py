@@ -100,8 +100,13 @@ def scene_train_step(
     lrs = dict(static_lrs, xyz=xyz_lr)
     new_params, new_opt = group_adam_update(grads, state.opt, params, lrs)
     new_gs = sgs.with_params(gs, new_params)
+    # Hook grads are d(loss)/d(pixel-space mean2d); the reference CUDA
+    # backward returns viewspace grads scaled by ddelx_dx = 0.5*W
+    # (0.5*H for y), and densify_grad_threshold is calibrated to those
+    # units — convert before accumulating.
+    vs_grad = hook_grad * jnp.array([0.5 * width, 0.5 * height])
     new_gs = sgs.add_densification_stats(
-        new_gs, hook_grad, pkg["radii"], pkg["visibility_filter"])
+        new_gs, vs_grad, pkg["radii"], pkg["visibility_filter"])
 
     aux = {"loss": loss, "psnr_mse": jnp.mean((pkg["render"] - gt_image) ** 2),
            "overflowed": pkg["overflowed"],

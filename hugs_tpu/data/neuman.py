@@ -106,6 +106,29 @@ def _load_image(path):
     return np.asarray(Image.open(path), np.float32) / 255.0
 
 
+def dilate_mask(msk: np.ndarray, k: int = 20) -> np.ndarray:
+    """Pure-numpy k x k box dilation (grayscale max filter), the
+    behavioral equivalent of the reference's cv2.dilate with a 20x20
+    kernel in scene mode (hugs/datasets/neuman.py:327). Separable:
+    a row max-filter then a column max-filter; cv2 anchors the kernel
+    at its center (floor(k/2) back, k-1-floor(k/2) forward)."""
+    if k <= 1:
+        return msk
+    lo, hi = k // 2, k - 1 - k // 2
+    out = msk
+    for axis in (0, 1):
+        n = out.shape[axis]
+        padded = np.pad(out, [(lo, hi) if a == axis else (0, 0)
+                              for a in range(2)], constant_values=-np.inf)
+        acc = out
+        for d in range(k):
+            sl = tuple(slice(d, d + n) if a == axis else slice(None)
+                       for a in range(2))
+            acc = np.maximum(acc, padded[sl])
+        out = acc
+    return out
+
+
 def camera_extent(c2w_positions: np.ndarray) -> float:
     """3DGS 'nerf normalization' radius: 1.1 x max camera distance from
     the average camera center (spatial_lr_scale / densify extent)."""
@@ -260,6 +283,10 @@ class NeumanDataset:
                     msk = msk[..., 0]
             else:
                 msk = np.zeros(rgb.shape[:2], np.float32)
+            if self.render_mode == "scene":
+                # scene-only training masks OUT the human plus a margin
+                # (reference neuman.py:327: 20x20 cv2.dilate)
+                msk = dilate_mask(msk, 20)
             datum["mask"] = msk
             rows = np.any(msk > 0, axis=0)
             cols = np.any(msk > 0, axis=1)

@@ -15,10 +15,13 @@ import jax.numpy as jnp
 
 def sample_patches(key: jax.Array, mask: jnp.ndarray, images: list,
                    num_patches: int = 4, patch_size: int = 128,
-                   ratio_mask: float = 0.9):
+                   ratio_mask: float = 0.9, dilate: int = 0):
     """Sample aligned patches from several (C, H, W) images.
 
     mask: (H, W) or (1, H, W) float/bool human mask.
+    dilate: optional box-dilation (pixels) of the mask before picking
+    centers (reference PatchSampler's `dilate`, hugs/utils/sampler.py:
+    26-27 — cv2.dilate with a dilate x dilate kernel).
     Returns list of (num_patches, C, patch_size, patch_size) arrays, in
     the same order as `images` (mask patches are not returned; prepend the
     mask to `images` if needed).
@@ -28,6 +31,13 @@ def sample_patches(key: jax.Array, mask: jnp.ndarray, images: list,
     H, W = mask.shape
     o = patch_size // 2
     k_mode, k_pick, k_ux, k_uy = jax.random.split(key, 4)
+
+    if dilate > 0:
+        lo = dilate // 2
+        hi = dilate - 1 - lo
+        mask = jax.lax.reduce_window(
+            mask, -jnp.inf, jax.lax.max, (dilate, dilate), (1, 1),
+            [(lo, hi), (lo, hi)])
 
     # valid centers: mask>0 away from borders (reference crops o:-o)
     valid = (mask > 0)

@@ -41,6 +41,17 @@ def linear(p, x):
     return x @ p["w"] + p["b"]
 
 
+def sine_init(a: float = 1.0):
+    """SineActivation parameter (reference hugs/models/modules/
+    activation.py:10-16: y = sin(a*x) with a learnable scalar `a`).
+    Dead in the release path; provided for decoder act-fn parity."""
+    return {"a": jnp.ones(1) * a}
+
+
+def sine_apply(p, x):
+    return jnp.sin(p["a"] * x)
+
+
 def weight_norm_init(key, fan_in, fan_out):
     p = linear_init(key, fan_in, fan_out)
     g = jnp.linalg.norm(p["w"], axis=0)          # per-output-column norm

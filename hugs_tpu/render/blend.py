@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from hugs_tpu.render.oracle import gaussian_alpha
+from hugs_tpu.render.oracle import gaussian_alpha, LOG_TEPS
 from hugs_tpu.render.project import ProjectedGaussians
 from hugs_tpu.render.tiles import TileBins, TILE, tile_grid
 
@@ -56,16 +56,19 @@ def blend_tiles(pg: ProjectedGaussians, bins: TileBins, width: int,
                                a_op[:, None], pxf[None, :], pyf[None, :],
                                radius=pg.radius[gi][:, None])
         log_t = jnp.cumsum(jnp.log1p(-alpha), axis=0)
-        trans = jnp.exp(jnp.concatenate(
-            [jnp.zeros((1, P), alpha.dtype), log_t[:-1]], axis=0))
-        wmat = alpha * trans                              # (K, P)
+        log_t_excl = jnp.concatenate(
+            [jnp.zeros((1, P), alpha.dtype), log_t[:-1]], axis=0)
+        trans = jnp.exp(log_t_excl)
+        # [T_i >= T_EPS] early-termination indicator (oracle.py docstring)
+        wmat = alpha * trans * (log_t_excl >= LOG_TEPS)   # (K, P)
         # full-f32 contraction: TPU default matmul precision is bf16,
         # which would put ~1e-3 noise on the composited colors
         color = jax.lax.dot_general(
             rgb, wmat, dimension_numbers=(((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
-        color = color + bg[:, None] * jnp.exp(log_t[-1])[None, :]
+        final_t = jnp.exp(log_t[-1]) * (log_t[-1] >= LOG_TEPS)
+        color = color + bg[:, None] * final_t[None, :]
         return color                                      # (3, P)
 
     # Rematerialize each tile's blend in the backward pass: without this,

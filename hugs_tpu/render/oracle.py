@@ -7,10 +7,17 @@ via AD — its jax.grad is also the gradient oracle.
 Blending semantics (shared by every backend in this framework):
   alpha_i = min(0.99, opacity_i * exp(-0.5 d^T Conic d))
   alpha_i := 0 where the Gaussian-space power > 0 or alpha_i < 1/255
-  C(p)    = sum_i rgb_i * alpha_i * prod_{j<i}(1 - alpha_j) + bg * prod_i(1 - alpha_i)
-in front-to-back depth order. (Deliberate deviation from the CUDA
-rasterizer: no T<1e-4 early-termination in the *definition* — fast
-backends may early-out only within fp tolerance.)
+  T_i     = prod_{j<i} (1 - alpha_j)          (exclusive transmittance)
+  C(p)    = sum_i rgb_i * alpha_i * T_i * [T_i >= T_EPS]
+            + bg * T_fin * [T_fin >= T_EPS]
+in front-to-back depth order, with T_EPS = 1e-4. The [T_i >= T_EPS]
+indicator is the order-independent (prefix-expressible) formulation of
+the CUDA rasterizer's `T < 1e-4 -> done` early termination (renderCUDA
+in diff-gaussian-rasterization, used at hugs/renderer/gs_renderer.py:
+141-152): once transmittance drops below 1e-4, later splats and the
+background contribute nothing — which lets the Pallas backend skip
+saturated chunk streams entirely while agreeing with this oracle to fp
+tolerance.
 """
 from __future__ import annotations
 
@@ -21,6 +28,8 @@ from hugs_tpu.render.project import ProjectedGaussians
 
 MIN_ALPHA = 1.0 / 255.0
 MAX_ALPHA = 0.99
+T_EPS = 1e-4                      # CUDA-parity transmittance cutoff
+LOG_TEPS = float(jnp.log(1e-4))   # = -9.2103...
 
 
 def gaussian_alpha(mean2d, conic, opacity, px, py, radius=None):
@@ -68,13 +77,18 @@ def render_oracle(pg: ProjectedGaussians, width: int, height: int,
                            radius=radius[:, None])
     # exclusive transmittance via cumsum in log space
     log_t = jnp.cumsum(jnp.log1p(-alpha), axis=0)
-    trans = jnp.exp(jnp.concatenate(
-        [jnp.zeros((1, alpha.shape[1])), log_t[:-1]], axis=0))
-    w = alpha * trans                        # (N, P)
+    log_t_excl = jnp.concatenate(
+        [jnp.zeros((1, alpha.shape[1])), log_t[:-1]], axis=0)
+    trans = jnp.exp(log_t_excl)
+    # [T_i >= T_EPS] early-termination indicator (see module docstring)
+    w = alpha * trans * (log_t_excl >= LOG_TEPS)        # (N, P)
     color = jax.lax.dot_general(             # (3, P), full f32
         rgb, w, dimension_numbers=(((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
-    final_t = jnp.exp(log_t[-1]) if alpha.shape[0] else jnp.ones(alpha.shape[1])
+    if alpha.shape[0]:
+        final_t = jnp.exp(log_t[-1]) * (log_t[-1] >= LOG_TEPS)
+    else:
+        final_t = jnp.ones(alpha.shape[1])
     img = color + bg[:, None] * final_t[None, :]
     return jnp.clip(img.reshape(3, height, width).transpose(1, 2, 0), 0.0, 1.0)

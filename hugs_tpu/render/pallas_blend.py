@@ -10,14 +10,26 @@ rather than translated:
             transposes — (P,1)<->(1,P) lifts ride tiny MXU outer
             products instead of relayouts.
   prefix    front-to-back transmittance via log-space prefix sums
-            computed as f32 triangular-ones MATMULs on the MXU
-            (cumsum-as-matmul), not a sequential per-pixel loop.
+            computed as triangular-ones MATMULs on the MXU
+            (cumsum-as-matmul), not a sequential per-pixel loop. The
+            triangular operand is 0/1-valued (exact in bf16), so the
+            product is computed as hi@M + lo@M with x = hi + lo split
+            into two bf16 halves: full-f32 accuracy at 2 MXU passes
+            instead of HIGHEST's 6.
   stream    each grid cell owns TPC=8 consecutive tiles; their aligned
             instance segments (tiles.bin_gaussians) form one contiguous
             chunk list that is DMA-streamed HBM->VMEM double-buffered
             across tile boundaries. Tiles with few instances cost
             proportionally little (the XLA fallback pads every tile to
             capacity).
+  early-out the blend semantics carry the CUDA rasterizer's T<1e-4
+            early termination as a per-instance [T_i >= T_EPS]
+            indicator (oracle.py docstring). The forward walks each
+            subtile's chunk stream front-to-back and STOPS as soon as
+            every pixel is saturated (max log T < log T_EPS): remaining
+            chunks provably contribute exactly 0. The number of chunks
+            actually processed per subtile is emitted as a second
+            (SMEM) output; the backward walks only those.
   backward  CUDA-style recompute: only the per-pixel final log-
             transmittance is saved; the bwd kernel re-evaluates alphas
             chunk-by-chunk in reverse, reconstructing T_i = exp(logT_fin
@@ -28,7 +40,7 @@ Instance data is pre-gathered by XLA into a feature-major (16, I) array
 (rows: r, g, b, opacity, mx, my, conic a/b/c, radius, pad...); the
 backward's per-instance grads scatter-add back to per-Gaussian arrays via
 XLA segment ops. Blending semantics (alpha clamp 0.99, 1/255 cutoff,
-radius cutoff, no T-threshold early term) are identical to
+radius cutoff, T_EPS=1e-4 early termination) are identical to
 render/oracle.py — all three backends agree to fp tolerance.
 """
 from __future__ import annotations
@@ -41,7 +53,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hugs_tpu.render.oracle import MIN_ALPHA, MAX_ALPHA
+from hugs_tpu.render.oracle import MIN_ALPHA, MAX_ALPHA, LOG_TEPS
 from hugs_tpu.render.project import ProjectedGaussians
 from hugs_tpu.render.tiles import TileBins, TILE, tile_grid
 
@@ -52,14 +64,6 @@ N_FEAT = 16
 F_R, F_G, F_B, F_OP, F_MX, F_MY, F_CA, F_CB, F_CC, F_RAD = range(10)
 
 _LOG_EPS = -87.0  # exp(-87) ~ 1e-38: "fully opaque" clamp in log space
-
-
-def _tri_incl(n=CHUNK):
-    """(n, n) lower-tri ones INCLUSIVE prefix matrix: X @ M gives
-    inclusive prefix sums along the lane (instance) axis."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return (r <= c).astype(jnp.float32)
 
 
 def _tri_excl(n=CHUNK):
@@ -73,6 +77,21 @@ def _suf_excl(n=CHUNK):
     r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     return (r > c).astype(jnp.float32)
+
+
+def _split_mm(x, m):
+    """x @ m at full f32 accuracy in 2 MXU passes.
+
+    m must be EXACTLY representable in bf16 (here: 0/1 triangular masks).
+    Split x = hi + lo (hi = bf16 round of x, lo the f32 remainder, itself
+    bf16-representable to 2^-18 relative); then hi@m + lo@m equals the
+    HIGHEST-precision product to ~f32 roundoff at 1/3 the MXU passes.
+    """
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    mb = m.astype(jnp.bfloat16)
+    out = jnp.dot(hi, mb, preferred_element_type=jnp.float32)
+    return out + jnp.dot(lo, mb, preferred_element_type=jnp.float32)
 
 
 def _tile_pixels(t, nx, tile):
@@ -144,16 +163,24 @@ def _chunk_ctx(k, counts, nch, cum, starts, tpc):
     return s, ci, start, sel(counts), sel(nch)
 
 
+_OOB_LOG = -100.0  # pre-saturated init for out-of-image pixels: below
+#                    LOG_TEPS, so padded tile rows/cols never block the
+#                    saturation early-out and contribute exactly 0
+
+
 def _fwd_kernel(starts_ref, counts_ref,          # scalar prefetch (SMEM)
                 inst_hbm,                        # (N_FEAT, I) in HBM/ANY
                 bg_ref,                          # (8, 1) VMEM (rows 3+ zero)
                 out_ref,                         # (TPC, 8, P) block
-                buf, sems,                       # scratch
-                *, nx, tile, tpc):
+                nch_out,                         # (T_pad,) whole-array SMEM:
+                #                                  chunks done per subtile
+                acc_ref, logt_ref, buf, sems,    # scratch
+                *, nx, tile, tpc, width, height):
     c = pl.program_id(0)
     P = tile * tile
     t0 = c * tpc
     counts, nch, cum, total = _cell_tables(starts_ref, counts_ref, t0, tpc)
+    starts = [starts_ref[t0 + i] for i in range(tpc)]
 
     # pre-fill every subtile with the empty-tile result (pure bg, logT=0)
     row = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
@@ -161,11 +188,10 @@ def _fwd_kernel(starts_ref, counts_ref,          # scalar prefetch (SMEM)
     empty = jnp.where(row < 3, bg_full, 0.0)
     for s in range(tpc):
         out_ref[s, :, :] = empty
+        nch_out[t0 + s] = 0
 
     def get_dma(slot, k):
-        _, _, start, _, _ = _chunk_ctx(k, counts, nch, cum,
-                                       [starts_ref[t0 + i]
-                                        for i in range(tpc)], tpc)
+        _, _, start, _, _ = _chunk_ctx(k, counts, nch, cum, starts, tpc)
         return pltpu.make_async_copy(
             inst_hbm.at[:, pl.ds(start, CHUNK)], buf.at[slot],
             sems.at[slot])
@@ -174,46 +200,65 @@ def _fwd_kernel(starts_ref, counts_ref,          # scalar prefetch (SMEM)
     def _():
         get_dma(0, 0).start()
 
-    def body(k, carry):
-        color, log_t = carry                          # (8, P), (P, 1)
-        slot = k % 2
+    # front-to-back walk over the cell's flattened chunk list. On
+    # saturation (every pixel's log T < log T_EPS) the rest of the
+    # subtile's stream contributes EXACTLY 0 (the [T_i >= T_EPS]
+    # indicator) — jump straight to the next subtile's first chunk.
+    def cond(state):
+        k, _ = state
+        return k < total
 
-        @pl.when(k + 1 < total)
+    def body(state):
+        k, slot = state
+        s, ci, _, count_s, nch_s = _chunk_ctx(k, counts, nch, cum, starts,
+                                              tpc)
+        have_next = (k + 1) < total
+
+        @pl.when(have_next)
         def _():
-            get_dma(1 - slot, k + 1).start()
+            get_dma(1 - slot, k + 1).start()     # speculative prefetch
 
         get_dma(slot, k).wait()
         chunk = buf[slot]
 
-        s, ci, _, count_s, nch_s = _chunk_ctx(
-            k, counts, nch, cum,
-            [starts_ref[t0 + i] for i in range(tpc)], tpc)
-        reset = (ci == 0)
-        color = jnp.where(reset, 0.0, color)
-        log_t = jnp.where(reset, 0.0, log_t)
-
         t = t0 + s
         px, py = _tile_pixels(t, nx, tile)
+
+        @pl.when(ci == 0)
+        def _():
+            acc_ref[...] = jnp.zeros((8, P), jnp.float32)
+            # out-of-image pixels start saturated (see _OOB_LOG)
+            inb = (px < width) & (py < height)
+            logt_ref[...] = jnp.where(inb, 0.0, _OOB_LOG)
+
+        color = acc_ref[...]
+        log_t = logt_ref[...]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         valid = (lane < (count_s - ci * CHUNK)).astype(jnp.float32)
 
         alpha, _, _, _ = _chunk_alpha(chunk, valid, px, py)
         la = jnp.log1p(-alpha)                        # (P, CHUNK)
-        pre = jnp.dot(la, _tri_excl(),
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST) + log_t
+        pre = _split_mm(la, _tri_excl()) + log_t
         trans = jnp.exp(jnp.maximum(pre, _LOG_EPS))
-        w = alpha * trans                             # (P, CHUNK)
+        w = alpha * trans * (pre >= LOG_TEPS)         # (P, CHUNK)
         color = color + jax.lax.dot_general(
             chunk[0:8, :], w, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)      # (8, P)
         log_t = log_t + jnp.sum(la, axis=1, keepdims=True)
+        acc_ref[...] = color
+        logt_ref[...] = log_t
 
-        @pl.when(ci == nch_s - 1)
+        max_lt = jnp.max(log_t)                       # scalar
+        is_last = ci == nch_s - 1
+        sat = jnp.logical_and(max_lt < LOG_TEPS, jnp.logical_not(is_last))
+        finish = jnp.logical_or(is_last, sat)
+
+        @pl.when(finish)
         def _():
-            t_fin = jnp.exp(jnp.maximum(log_t, _LOG_EPS))
+            ind = (log_t >= LOG_TEPS).astype(jnp.float32)
+            t_fin = jnp.exp(jnp.maximum(log_t, _LOG_EPS)) * ind
             bg_term = jax.lax.dot_general(
                 bg_ref[:, :], t_fin,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -226,14 +271,34 @@ def _fwd_kernel(starts_ref, counts_ref,          # scalar prefetch (SMEM)
                 precision=jax.lax.Precision.HIGHEST)
             out_ref[pl.ds(s, 1), :, :] = jnp.where(
                 row < 3, color + bg_term, logt8)[None]
-        return color, log_t
+            nch_out[t0 + s] = ci + 1
 
-    color0 = jnp.zeros((8, P), jnp.float32)
-    logt0 = jnp.zeros((P, 1), jnp.float32)
-    jax.lax.fori_loop(0, total, body, (color0, logt0))
+        # next chunk: sequential, or jump over the saturated remainder
+        nxt_tab = cum[1:] + [total]                   # cum[s+1] table
+        nxt = nxt_tab[0]
+        for i in range(1, tpc):
+            nxt = jnp.where(s == i, nxt_tab[i], nxt)
+        knext = jnp.where(sat, nxt, k + 1)
+
+        # on a jump the speculative prefetch targeted the wrong chunk:
+        # drain it, then start the right one into the same slot
+        @pl.when(sat)
+        def _():
+            @pl.when(have_next)
+            def _():
+                get_dma(1 - slot, k + 1).wait()
+
+            @pl.when(knext < total)
+            def _():
+                get_dma(1 - slot, knext).start()
+
+        return knext, 1 - slot
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
 
 
-def _bwd_kernel(starts_ref, counts_ref,
+def _bwd_kernel(starts_ref, counts_ref,          # counts are EFFECTIVE:
+                #                                  min(count, done*CHUNK)
                 inst_hbm,                        # (N_FEAT, I)
                 bg_ref,                          # (8, 1) (rows 3+ zero)
                 fout_ref,                        # (TPC, 8, P): fwd output
@@ -271,8 +336,11 @@ def _bwd_kernel(starts_ref, counts_ref,
     def _():
         get_dma(0, total - 1).start()
 
-    # reverse walk over the cell's flattened chunk list; carries reset at
-    # subtile boundaries (first visit of a subtile is its LAST chunk)
+    # reverse walk over the cell's flattened PROCESSED-chunk list (counts
+    # were shortened to what the forward actually blended before
+    # saturation); carries reset at subtile boundaries (first visit of a
+    # subtile is its LAST processed chunk). logT_fin (fwd row 3) is the
+    # sum over exactly these chunks, so T_i reconstruction stays exact.
     def body(i, carry):
         k = total - 1 - i
         suf_log, suf_s = carry
@@ -294,7 +362,9 @@ def _bwd_kernel(starts_ref, counts_ref,
         logt_row = jnp.sum(jnp.where(row == 3, fout, 0.0), axis=0,
                            keepdims=True)             # (1, P)
         log_t_fin = row_to_col(logt_row)              # (P, 1)
-        t_fin = jnp.exp(jnp.maximum(log_t_fin, _LOG_EPS))
+        # bg weight carries the [T_fin >= T_EPS] indicator (oracle.py)
+        t_fin = jnp.exp(jnp.maximum(log_t_fin, _LOG_EPS)) \
+            * (log_t_fin >= LOG_TEPS)
         g_bg = row_to_col(jnp.sum(g * bg_ref[:, :], axis=0, keepdims=True))
 
         first_visit = (ci == nch_s - 1)
@@ -310,11 +380,11 @@ def _bwd_kernel(starts_ref, counts_ref,
         live = alpha > 0.0
         la = jnp.log1p(-alpha)
 
-        suf_in = jnp.dot(la, _suf_excl(),
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST) + la + suf_log
-        trans = jnp.exp(jnp.maximum(log_t_fin - suf_in, _LOG_EPS))  # T_i
-        w = alpha * trans                              # (P, CHUNK)
+        suf_in = _split_mm(la, _suf_excl()) + la + suf_log
+        pre = log_t_fin - suf_in                       # log T_i (excl)
+        trans = jnp.exp(jnp.maximum(pre, _LOG_EPS))    # T_i
+        ind = (pre >= LOG_TEPS).astype(jnp.float32)    # [T_i >= T_EPS]
+        w = alpha * trans * ind                        # (P, CHUNK)
 
         gc = jax.lax.dot_general(                      # (P, CHUNK)
             g, chunk[0:8, :], dimension_numbers=(((0,), (0,)), ((), ())),
@@ -322,12 +392,10 @@ def _bwd_kernel(starts_ref, counts_ref,
             precision=jax.lax.Precision.HIGHEST)
 
         wgc = w * gc
-        s_in = jnp.dot(wgc, _suf_excl(),
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST) + suf_s
+        s_in = _split_mm(wgc, _suf_excl()) + suf_s
 
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
-        d_alpha = jnp.where(live, gc * trans - s_in / one_m, 0.0)
+        d_alpha = jnp.where(live, gc * trans * ind - s_in / one_m, 0.0)
 
         unclamped = (alpha < MAX_ALPHA)
         G = jnp.exp(jnp.minimum(power, 0.0))
@@ -431,16 +499,20 @@ def _pad_cells(starts, counts, T):
     return starts, counts, cells
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _blend_pallas_core(inst, starts, counts, total, bg, nx, ny, tile):
-    """Returns (T_pad, 8, P): rows 0-2 composited rgb, row 3 final logT."""
-    return _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _blend_pallas_core(inst, starts, counts, total, bg, nx, ny, tile,
+                       width, height):
+    """Returns ((T_pad, 8, P), (cells, TPC) int32): rows 0-2 composited
+    rgb, row 3 final logT; plus per-subtile processed-chunk counts."""
+    return _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile,
+                           width, height)
 
 
-def _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile):
+def _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile, width, height):
     P = tile * tile
     starts, counts, cells = _pad_cells(starts, counts, nx * ny)
-    kernel = functools.partial(_fwd_kernel, nx=nx, tile=tile, tpc=TPC)
+    kernel = functools.partial(_fwd_kernel, nx=nx, tile=tile, tpc=TPC,
+                               width=width, height=height)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cells,),
@@ -449,9 +521,16 @@ def _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile):
             pl.BlockSpec((8, 1), lambda c, *_: (0, 0),
                          memory_space=pltpu.VMEM),        # bg
         ],
-        out_specs=pl.BlockSpec((TPC, 8, P), lambda c, *_: (c, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((TPC, 8, P), lambda c, *_: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # whole-array SMEM ref (a blocked (1, TPC) spec violates the
+            # Mosaic min-tile rule); cells write disjoint [t0, t0+TPC)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
         scratch_shapes=[
+            pltpu.VMEM((8, P), jnp.float32),          # color accumulator
+            pltpu.VMEM((P, 1), jnp.float32),          # log transmittance
             pltpu.VMEM((2, N_FEAT, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -459,20 +538,30 @@ def _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cells * TPC, 8, P), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((cells * TPC, 8, P), jnp.float32),
+            jax.ShapeDtypeStruct((cells * TPC,), jnp.int32),
+        ),
         interpret=_interpret_default(),
     )(starts, counts, inst, _bg8(bg))
 
 
-def _blend_core_fwd(inst, starts, counts, total, bg, nx, ny, tile):
-    out = _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile)
-    return out, (inst, starts, counts, total, bg, out)
+def _blend_core_fwd(inst, starts, counts, total, bg, nx, ny, tile,
+                    width, height):
+    out, nchunks = _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile,
+                                   width, height)
+    return (out, nchunks), (inst, starts, counts, total, bg, out, nchunks)
 
 
-def _blend_core_bwd(nx, ny, tile, res, g_out):
-    inst, starts, counts, total, bg, fwd_out = res
+def _blend_core_bwd(nx, ny, tile, width, height, res, g_outs):
+    inst, starts, counts, total, bg, fwd_out, nchunks = res
+    g_out = g_outs[0]                  # cotangent for the int32 counts
+    #                                    output is symbolic-zero; ignore
     P = tile * tile
     starts, counts, cells = _pad_cells(starts, counts, nx * ny)
+    # the backward only needs the chunks the forward actually processed:
+    # cap each subtile's instance count at done_chunks * CHUNK
+    counts_eff = jnp.minimum(counts, nchunks * CHUNK)
     kernel = functools.partial(_bwd_kernel, nx=nx, tile=tile, tpc=TPC)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -500,15 +589,26 @@ def _blend_core_bwd(nx, ny, tile, res, g_out):
         out_shape=jax.ShapeDtypeStruct(inst.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret_default(),
-    )(starts, counts, inst, _bg8(bg), fwd_out, g_out)
+    )(starts, counts_eff, inst, _bg8(bg), fwd_out, g_out)
 
-    # columns past the last valid instance are never written by any
-    # tile (uninitialized memory) — zero them before the scatter-add
-    col = jnp.arange(inst.shape[1])[None, :]
-    ginst = jnp.where(col < total, ginst, 0.0)
+    # columns never written by any tile are uninitialized memory: those
+    # past the aligned end of each tile's PROCESSED prefix, and those
+    # past the last valid instance. Build the per-slot write limit with
+    # the same scatter+cummax flood fill as tiles.py (aligned starts are
+    # non-decreasing).
+    i_align = inst.shape[1]
+    ends_eff = starts + counts_eff
+    mark_pos = jnp.where(counts_eff > 0, starts, i_align)
+    marks = jnp.zeros(i_align, jnp.int32).at[mark_pos].max(
+        ends_eff, mode="drop")
+    limit = jax.lax.cummax(marks)
+    col = jnp.arange(i_align)
+    ginst = jnp.where((col < limit) & (col < total), ginst, 0.0)
 
-    # bg grad: sum over pixels of g . T_fin (row 3 of fwd_out is logT)
-    t_fin = jnp.exp(jnp.maximum(fwd_out[:, 3:4, :], _LOG_EPS))
+    # bg grad: sum over pixels of g . T_fin with the [T_fin >= T_EPS]
+    # indicator (row 3 of fwd_out is logT)
+    logt = fwd_out[:, 3:4, :]
+    t_fin = jnp.exp(jnp.maximum(logt, _LOG_EPS)) * (logt >= LOG_TEPS)
     g_bg = jnp.sum(g_out[:, :3, :] * t_fin, axis=(0, 2))        # (3,)
     return ginst, None, None, None, g_bg
 
@@ -537,8 +637,8 @@ def blend_tiles_pallas(pg: ProjectedGaussians, bins: TileBins, width: int,
     counts = (bins.ends - bins.starts).astype(jnp.int32)
     total = bins.aligned_total.astype(jnp.int32)
 
-    out = _blend_pallas_core(inst, bins.starts, counts, total, bg,
-                             nx, ny, tile)                # (T_pad, 8, P)
+    out, _ = _blend_pallas_core(inst, bins.starts, counts, total, bg,
+                                nx, ny, tile, width, height)  # (T_pad,8,P)
     img = out[:T, :3, :].reshape(ny, nx, 3, tile, tile)
     img = img.transpose(2, 0, 3, 1, 4).reshape(3, ny * tile, nx * tile)
     return jnp.clip(img[:, :height, :width], 0.0, 1.0)

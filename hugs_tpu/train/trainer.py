@@ -42,7 +42,7 @@ from hugs_tpu.train.human_step import (
     human_densify_step, make_human_lrs, distill_init)
 from hugs_tpu.train.joint_step import JointTrainState, joint_train_step
 from hugs_tpu.train import checkpoint as ckpt_io
-from hugs_tpu.utils.image import save_image_grid, save_png
+from hugs_tpu.utils.image import save_image_grid, save_png, create_video
 
 
 class GaussianTrainer:
@@ -193,7 +193,7 @@ class GaussianTrainer:
                     print(f"WARNING: tile-instance budget overflow at "
                           f"iter {t_iter} — raise tpu.instance_budget "
                           f"(dropped Gaussian instances degrade quality)")
-            self._periodic(t_iter, aux)
+            self._periodic(t_iter, aux, data)
         return log
 
     def _train_step(self, t_iter, idx, data, camera, gt, mask, W, H, bg,
@@ -287,7 +287,7 @@ class GaussianTrainer:
                 percent_dense=cfg.human.lr.percent_dense,
                 max_n_gaussians=int(cfg.human.max_n_gaussians))
 
-    def _periodic(self, t_iter, aux):
+    def _periodic(self, t_iter, aux, data=None):
         cfg = self.cfg
         if t_iter % 1000 == 0 and t_iter > 0:
             if self.human is not None:
@@ -297,11 +297,24 @@ class GaussianTrainer:
                 self.scene = self.scene._replace(gs=sgs.one_up_sh_degree(
                     self.scene.gs, cfg.scene.sh_degree))
         if cfg.logdir:
+            if t_iter > 0 and t_iter % 1000 == 0 and data is not None:
+                # train-view gt|pred comparison dump (reference
+                # gs_trainer.py:307-314)
+                pkg = self.render_frame(data)
+                save_image_grid(
+                    [np.asarray(jnp.asarray(data["rgb"])),
+                     np.asarray(pkg["render"])],
+                    f"{cfg.logdir}/train/{t_iter:06d}.png")
             if t_iter > 0 and t_iter % cfg.train.save_ckpt_interval == 0:
                 self.save_ckpt(t_iter)
             if t_iter > 0 and t_iter % cfg.train.val_interval == 0 \
                     and self.val_dataset is not None:
                 self.validate(t_iter)
+            anim_every = int(cfg.train.get("anim_interval", 0) or 0)
+            if t_iter > 0 and anim_every > 0 \
+                    and t_iter % anim_every == 0 \
+                    and self.anim_dataset is not None:
+                self.animate(t_iter)
 
     # -------------------------------------------------------- rendering
 
@@ -346,6 +359,10 @@ class GaussianTrainer:
         iter_s = "final" if t_iter is None else f"{t_iter:06d}"
         bg = jnp.zeros(3)
         metrics: dict[str, list] = {}
+        # without pretrained VGG weights the lpips numbers are internally
+        # consistent but NOT comparable to the reference — label them
+        lp_key = "hugs_lpips" if self.lpips.has_pretrained \
+            else "hugs_lpips_uncalibrated"
 
         for idx in range(len(self.val_dataset)):
             data = self.val_dataset[idx]
@@ -354,7 +371,7 @@ class GaussianTrainer:
             gt = jnp.asarray(data["rgb"])
             metrics.setdefault("hugs_psnr", []).append(float(psnr(img, gt)))
             metrics.setdefault("hugs_ssim", []).append(float(ssim(img, gt)))
-            metrics.setdefault("hugs_lpips", []).append(
+            metrics.setdefault(lp_key, []).append(
                 float(self.lpips(jnp.clip(img, max=1.0)[None],
                                  gt[None])[0]))
             if cfg.mode in ("human", "human_scene") and "bbox" in data:
@@ -366,7 +383,8 @@ class GaussianTrainer:
                         float(psnr(crop, gcrop)))
                     metrics.setdefault("hugs_human_ssim", []).append(
                         float(ssim(crop, gcrop)))
-                    metrics.setdefault("hugs_human_lpips", []).append(
+                    metrics.setdefault(lp_key.replace(
+                        "hugs_", "hugs_human_"), []).append(
                         float(self.lpips(jnp.clip(crop, max=1.0)[None],
                                          gcrop[None])[0]))
             if cfg.logdir:
@@ -384,9 +402,12 @@ class GaussianTrainer:
 
     # ------------------------------------------------------- animation
 
-    def animate(self, t_iter=None):
+    def animate(self, t_iter=None, keep_images=True):
         if self.anim_dataset is None:
             return []
+        iter_s = "final" if t_iter is None else f"{t_iter:06d}"
+        anim_dir = f"{self.cfg.logdir}/anim/{iter_s}" \
+            if self.cfg.logdir else None
         frames = []
         for idx in range(len(self.anim_dataset)):
             data = self.anim_dataset[idx]
@@ -395,9 +416,14 @@ class GaussianTrainer:
                        jnp.asarray(data["manual_scale"]).reshape(()))
             pkg = self.render_frame(data, ext_tfs=ext_tfs)
             frames.append(np.asarray(pkg["render"]))
-            if self.cfg.logdir:
-                save_png(frames[-1],
-                         f"{self.cfg.logdir}/anim/{idx:05d}.png")
+            if anim_dir:
+                save_png(frames[-1], f"{anim_dir}/{idx:05d}.png")
+        if anim_dir and len(frames) > 1:
+            # reference writes an ffmpeg video per animate() call
+            # (gs_trainer.py:582-586 via utils/general.py:86-92)
+            create_video(anim_dir,
+                         f"{self.cfg.logdir}/anim/anim_{iter_s}.mp4",
+                         fps=20)
         return frames
 
     def render_canonical(self, nframes=8, img_size=128, pose_type=None):
@@ -416,6 +442,9 @@ class GaussianTrainer:
             if self.cfg.logdir:
                 save_png(frames[-1],
                          f"{self.cfg.logdir}/canon/{len(frames):05d}.png")
+        if self.cfg.logdir and len(frames) > 1:
+            create_video(f"{self.cfg.logdir}/canon",
+                         f"{self.cfg.logdir}/canon/canon.mp4", fps=10)
         return frames
 
     # ------------------------------------------------------ checkpoints

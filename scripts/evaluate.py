@@ -22,7 +22,13 @@ def main():
 
     from hugs_tpu.cfg import load_config
     cfg_path = os.path.join(args.output_dir, "config_train.yaml")
-    cfg = load_config(cfg_path if os.path.exists(cfg_path) else None)
+    if not os.path.exists(cfg_path):
+        # evaluating a checkpoint under default (wrong) config silently
+        # produces garbage metrics — fail loudly instead
+        print(f"error: {cfg_path} not found — not a training output dir",
+              file=sys.stderr)
+        return 1
+    cfg = load_config(cfg_path)
     cfg.eval = True
     cfg.logdir = args.output_dir
     cfg.logdir_ckpt = os.path.join(args.output_dir, "ckpt")

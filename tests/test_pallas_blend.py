@@ -73,3 +73,118 @@ def test_pallas_bg_gradient():
     g_t = jax.grad(lambda b: loss("tiled", b))(jnp.array([0.4, 0.5, 0.6]))
     g_p = jax.grad(lambda b: loss("pallas", b))(jnp.array([0.4, 0.5, 0.6]))
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_t), atol=1e-5)
+
+
+def make_saturating_scene():
+    """Two depth layers of a dense, near-opaque splat grid covering the
+    whole image (means built by inverse projection), so every in-bounds
+    pixel of every tile saturates well before the chunk stream ends."""
+    cam = make_camera(jnp.eye(3), jnp.zeros(3), 0.9, 0.7)
+    gx, gy = jnp.meshgrid(jnp.linspace(0.0, W - 1.0, 24),
+                          jnp.linspace(0.0, H - 1.0, 16))
+    px = jnp.tile(gx.ravel(), 2)                   # 2 layers x 384
+    py = jnp.tile(gy.ravel(), 2)
+    n = px.shape[0]
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    z = jnp.concatenate([
+        4.0 + jax.random.uniform(ks[0], (n // 2,)) * 0.2,
+        6.0 + jax.random.uniform(ks[1], (n // 2,)) * 0.2])
+    # invert ndc_to_pixel + pinhole: x = z * tan_fov * ((2 px + 1)/W - 1)
+    mx = z * cam.tan_fovx * ((2.0 * px + 1.0) / W - 1.0)
+    my = z * cam.tan_fovy * ((2.0 * py + 1.0) / H - 1.0)
+    means = jnp.stack([mx, my, z], axis=-1)
+    scales = jnp.full((n, 3), 0.4)
+    rotq = jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1))
+    opacity = jnp.full((n,), 0.97)
+    shs = jax.random.normal(ks[2], (n, 16, 3)) * 0.3
+    return means, scales, rotq, opacity, shs, cam
+
+
+def test_pallas_saturated_early_termination():
+    """The [T_i >= T_EPS] indicator + forward early-out must fire on a
+    saturated scene and still agree with the oracle, incl. gradients
+    (covers the stream-skip + short-backward path)."""
+    means, scales, rotq, opacity, shs, cam = make_saturating_scene()
+    bg = jnp.array([0.9, 0.1, 0.2])
+    target = jax.random.uniform(jax.random.PRNGKey(5), (3, H, W))
+
+    def loss(backend, m, o):
+        img = render(m, scales, rotq, o, shs, camera=cam, width=W,
+                     height=H, bg=bg, active_sh_degree=2, backend=backend,
+                     tile_cap=1024, instance_budget=16384)["render"]
+        return jnp.mean((img - target) ** 2), img
+
+    (lo, io), go = jax.value_and_grad(
+        lambda m, o: loss("oracle", m, o), argnums=(0, 1),
+        has_aux=True)(means, opacity)
+    (lp, ip), gp = jax.value_and_grad(
+        lambda m, o: loss("pallas", m, o), argnums=(0, 1),
+        has_aux=True)(means, opacity)
+    np.testing.assert_allclose(np.asarray(ip), np.asarray(io), atol=2e-5)
+    for name, a, b in zip(["means", "opacity"], go, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=1e-3, err_msg=name)
+
+    # the forward must actually have cut the chunk walk short
+    from hugs_tpu.render.project import project_gaussians
+    from hugs_tpu.render.tiles import bin_gaussians
+    from hugs_tpu.render.pallas_blend import (
+        _gauss_feat, _pack_aligned, _blend_pallas_core, CHUNK)
+    pg = project_gaussians(means, scales, rotq, opacity, shs, cam, W, H, 2)
+    bins = bin_gaussians(pg, W, H, 16384, 32)
+    I = bins.gauss_id.shape[0]
+    inst = _pack_aligned(_gauss_feat(pg), bins.gauss_id, bins.newpos,
+                         bins.gid_presort, (-(-I // CHUNK)) * CHUNK)
+    counts = (bins.ends - bins.starts).astype(jnp.int32)
+    _, nchunks = _blend_pallas_core(
+        inst, bins.starts, counts, bins.aligned_total.astype(jnp.int32),
+        bg, 2, 2, 32, W, H)
+    total_chunks = int(jnp.sum((counts + CHUNK - 1) // CHUNK))
+    assert int(jnp.sum(nchunks)) < total_chunks, \
+        "early termination never fired on a fully saturated scene"
+
+
+def test_pallas_many_chunks_and_empty_tiles():
+    """>2 chunks per tile plus completely empty tiles in the same cell:
+    the multi-chunk reverse walk and the empty-subtile prefill paths."""
+    n = 700
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    # concentrated in the upper-left corner -> other tiles stay empty
+    means = jax.random.normal(ks[0], (n, 3)) * 0.05
+    means = means.at[:, 0].add(-0.55).at[:, 1].add(-0.45)
+    means = means.at[:, 2].set(jnp.abs(means[:, 2]) + 4.0)
+    scales = jnp.full((n, 3), 0.02)
+    rotq = jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1))
+    opacity = jnp.full((n,), 0.05)        # translucent: no early-out
+    shs = jax.random.normal(ks[1], (n, 16, 3)) * 0.3
+    cam = make_camera(jnp.eye(3), jnp.zeros(3), 0.9, 0.7)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    target = jax.random.uniform(ks[2], (3, H, W))
+
+    def loss(backend, m, o, c):
+        img = render(m, scales, rotq, o, c, camera=cam, width=W, height=H,
+                     bg=bg, active_sh_degree=1, backend=backend,
+                     tile_cap=1024, instance_budget=16384)["render"]
+        return jnp.mean((img - target) ** 2)
+
+    gt = jax.grad(lambda *a: loss("tiled", *a), argnums=(0, 1, 2))(
+        means, opacity, shs)
+    gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2))(
+        means, opacity, shs)
+    for name, a, b in zip(["means", "opacity", "shs"], gt, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-6, rtol=1e-4, err_msg=name)
+
+
+def test_pallas_tile16():
+    """tile=16 path (P=256): non-default tile size end to end."""
+    means, scales, rotq, opacity, shs, cam = make_scene(n=150, seed=5)
+    bg = jnp.array([0.3, 0.3, 0.3])
+    kw = dict(camera=cam, width=W, height=H, bg=bg, active_sh_degree=3,
+              instance_budget=16384, tile=16)
+    img_t = render(means, scales, rotq, opacity, shs, backend="tiled",
+                   tile_cap=512, **kw)["render"]
+    img_p = render(means, scales, rotq, opacity, shs, backend="pallas",
+                   **kw)["render"]
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_t),
+                               atol=1e-5)

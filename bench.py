@@ -58,7 +58,8 @@ def main():
                      q / jnp.linalg.norm(q, axis=-1, keepdims=True),
                      jax.nn.sigmoid(ol), c, camera=cam, width=W, height=H,
                      bg=bg, active_sh_degree=3, backend=backend,
-                     tile_cap=1024, instance_budget=1 << 18, tile=32)["render"]
+                     tile_cap=1024, instance_budget=131072,
+                     tile=32)["render"]
         return jnp.mean(jnp.abs(img - target))
 
     step = jax.jit(jax.grad(loss_fn))

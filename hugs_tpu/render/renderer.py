@@ -60,6 +60,7 @@ def render(
     if mean2d_grad_hook is not None:
         pg = pg._replace(mean2d=pg.mean2d + mean2d_grad_hook)
 
+    n_instances = jnp.int32(0)
     if backend == "oracle":
         img = render_oracle(pg, width, height, bg).transpose(2, 0, 1)
         overflowed = jnp.bool_(False)
@@ -72,6 +73,7 @@ def render(
         n = means3d.shape[0]
         budget = instance_budget or max(4 * n, 1 << 16)
         bins = bin_gaussians(pg, width, height, budget, tile)
+        n_instances = bins.n_instances  # true count, even past the budget
         if backend == "pallas":
             from hugs_tpu.render.pallas_blend import blend_tiles_pallas
             img = blend_tiles_pallas(pg, bins, width, height, bg, tile)
@@ -90,6 +92,7 @@ def render(
         "radii": pg.radius,
         "visibility_filter": pg.mask & (pg.radius > 0),
         "overflowed": overflowed,
+        "n_instances": n_instances,
     }
 
 

@@ -117,6 +117,7 @@ def joint_train_step(
 
     aux = {"loss": loss, "loss_dict": loss_dict,
            "overflowed": pkg["overflowed"],
+           "n_instances": pkg["n_instances"],
            "render": pkg["render"],
            "opacity": h_out["opacity"],
            "scales_canon": h_out["scales_canon"],

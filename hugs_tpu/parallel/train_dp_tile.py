@@ -1,23 +1,31 @@
-"""Fully-sharded joint training step over a 2-D ('data', 'tile') mesh.
+"""Fully-sharded joint training step over a 2-D ('data', 'tile') mesh,
+with FULL single-device loss parity.
 
 Data parallelism x image-band parallelism for HUGS training — new
-TPU-native capability (the reference is single-GPU, batch 1):
+TPU-native capability (the reference is single-GPU, batch 1; the loss
+being reproduced exactly is hugs/losses/loss.py:46-162):
 
   - mesh axis 'data': each row of devices trains on a different frame
-    (camera + pose + target image);
+    (camera + pose + target image + PRNG key);
   - mesh axis 'tile': within a row, devices own horizontal pixel bands of
-    that frame's render;
-  - parameters are replicated; per-device gradients of the local band
-    loss are psum'd over BOTH axes (one fused all-reduce over ICI), then
-    the group-Adam update runs replicated.
+    the frame's render. Only the RASTERIZER is band-sharded — the bands
+    are all_gather'ed (a few MB over ICI) and the dense loss (L1, exact
+    full-image SSIM, patch-LPIPS, humansep pass, LBS) runs replicated on
+    the gathered image. Loss FLOPs are ~1% of raster FLOPs, so
+    replicating them buys exact parity for free; the gather's AD
+    transpose routes each chip's pixel gradients back to its band.
+  - per-chip grads are psum'd over BOTH axes (one fused all-reduce over
+    ICI). Through the band render the psum assembles partitioned
+    partial grads; the LBS term (which does not flow through pixels) is
+    gated to the tile=0 chip so the psum counts it exactly once.
+  - densification stats ride the same psum: the screen-space mean2d
+    gradient hook (zeros parameter added to pg.mean2d) is differentiated
+    per band and psum'd into the full per-Gaussian stat, then split
+    human/scene exactly like the single-device joint step.
 
-The photometric loss inside is decomposable L1 (+ optional per-band SSIM
-— windows are band-local, a deliberate approximation noted in the loss
-docs) so the psum of band losses equals the full-image loss.
-"""
+The returned step's loss trajectory matches `joint_train_step` to fp
+tolerance at n_data=1 (tests/test_sharded_train.py)."""
 from __future__ import annotations
-
-
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +37,7 @@ from hugs_tpu.models import scene_gs as sgs
 from hugs_tpu.render.project import project_gaussians
 from hugs_tpu.render.tiles import bin_gaussians, TILE
 from hugs_tpu.render.blend import blend_tiles
+from hugs_tpu.losses.loss import HumanSceneLoss
 from hugs_tpu.train.optim import group_adam_update
 from hugs_tpu.train.human_step import HumanTrainState
 from hugs_tpu.train.scene_step import SceneTrainState
@@ -43,99 +52,195 @@ def make_dp_tile_train_step(
     *,
     width: int,
     height: int,
+    loss_fn: HumanSceneLoss | None = None,
+    lpips=None,
     tile_cap: int = 256,
     instance_budget: int = 1 << 14,
     tile: int = TILE,
-    ssim_w: float = 0.0,
-    l1_w: float = 0.8,
+    backend: str = "tiled",
+    optim_scene: bool = True,
 ):
-    """Build the jitted sharded step.
+    """Build the jitted sharded joint train step.
 
     Returned step signature:
-      step(jstate, cameras, targets, masks, smpl_scales, dataset_idxs,
-           human_lrs, scene_lrs) -> (jstate, aux)
-    where cameras/targets/... have leading dim = mesh.shape['data'].
-    """
+      step(jstate, cameras, targets, masks, bgs, human_bgs, smpl_scales,
+           dataset_idxs, keys, h_xyz_lr, h_static_lrs, s_xyz_lr,
+           s_static_lrs) -> (jstate, aux)
+    where cameras/targets/masks/bgs/human_bgs/smpl_scales/dataset_idxs/
+    keys have leading dim = mesh.shape['data'] (the trained batch), and
+    targets/masks are full-resolution frames.
+
+    backend: 'tiled' (XLA blend) or 'pallas' (the TPU kernel; runs in
+    interpret mode off-TPU, so the CPU-mesh tests exercise the real
+    kernel path's plumbing under shard_map)."""
+    if loss_fn is None:
+        loss_fn = HumanSceneLoss()
     n_tile = mesh.shape["tile"]
     band_h = _band_height(height, n_tile, tile)
     n_data = mesh.shape["data"]
+    render_human_separate = loss_fn.l_humansep_w > 0.0
+    lf = loss_fn._replace(lpips=lpips) if lpips is not None else loss_fn
 
-    def worker(h_params, h_state, s_gs, h_opt, s_opt,
-               camera, target, smpl_scale, dataset_idx,
-               h_lrs, s_lrs):
-        # camera/target sharded over 'data': local shard has 1 frame
-        camera = jax.tree.map(lambda x: x[0], camera)
-        target = target[0]
-        smpl_scale = smpl_scale[0]
-        dataset_idx = dataset_idx[0]
-
-        t = jax.lax.axis_index("tile")
+    def band_render(pg, bg, t):
+        """Blend this chip's band of an already-projected Gaussian set
+        and gather the full frame (band coords: shift mean2d)."""
         y0 = (t * band_h).astype(jnp.float32)
+        pg = pg._replace(mean2d=pg.mean2d - jnp.stack(
+            [jnp.zeros_like(y0), y0]))
+        bins = bin_gaussians(pg, width, band_h, instance_budget, tile)
+        if backend == "pallas":
+            from hugs_tpu.render.pallas_blend import blend_tiles_pallas
+            img = blend_tiles_pallas(pg, bins, width, band_h, bg, tile)
+        else:
+            img = blend_tiles(pg, bins, width, band_h, bg, tile_cap, tile)
+        full = jax.lax.all_gather(img, "tile", axis=1, tiled=True)
+        return full[:, :height, :], bins.overflowed, bins.n_instances
 
-        def local_loss(h_params, s_params):
+    def worker(h_params, h_state, s_gs, camera, gt, mask, bg, hbg,
+               smpl_scale, dataset_idx, key):
+        # data-sharded args arrive with a leading local batch of 1
+        camera, gt, mask, bg, hbg, smpl_scale, dataset_idx, key = (
+            jax.tree.map(lambda x: x[0], (camera, gt, mask, bg, hbg,
+                                          smpl_scale, dataset_idx, key)))
+        t = jax.lax.axis_index("tile")
+        h_cap = h_params.xyz.shape[0]
+        s_cap = s_gs.capacity
+        hook = jnp.zeros((h_cap + s_cap, 2))
+        lbs_gate = (t == 0).astype(jnp.float32)
+
+        def compute_loss(h_params, s_params, hook):
             h_out = hgs.human_forward(h_params, h_state, fixed, cfg,
                                       smpl_scale=smpl_scale,
                                       dataset_idx=dataset_idx)
             s_out = sgs.scene_forward(sgs.with_params(s_gs, s_params))
-            attrs = {
-                k: jnp.concatenate([h_out[k], s_out[k]], axis=0)
-                for k in ("xyz", "scales", "rotq", "opacity")}
+            xyz = jnp.concatenate([h_out["xyz"], s_out["xyz"]], axis=0)
+            scales = jnp.concatenate([h_out["scales"], s_out["scales"]],
+                                     axis=0)
+            rotq = jnp.concatenate([h_out["rotq"], s_out["rotq"]], axis=0)
+            opac = jnp.concatenate([h_out["opacity"], s_out["opacity"]],
+                                   axis=0)
             shs = jnp.concatenate([h_out["shs"], s_out["shs"]], axis=0)
             alive = jnp.concatenate([h_out["alive"], s_out["alive"]])
-            pg = project_gaussians(attrs["xyz"], attrs["scales"],
-                                   attrs["rotq"], attrs["opacity"], shs,
-                                   camera, width, height,
+            pg = project_gaussians(xyz, scales, rotq, opac, shs, camera,
+                                   width, height,
                                    h_out["active_sh_degree"], alive=alive)
-            pg = pg._replace(mean2d=pg.mean2d - jnp.stack(
-                [jnp.zeros_like(y0), y0]))
-            bins = bin_gaussians(pg, width, band_h, instance_budget, tile)
-            img = blend_tiles(pg, bins, width, band_h,
-                              jnp.zeros(3), tile_cap, tile)
-            # band of the target (pad target height to n_tile*band_h)
-            tgt = jax.lax.dynamic_slice_in_dim(
-                jnp.pad(target, ((0, 0), (0, n_tile * band_h - height),
-                                 (0, 0))),
-                t * band_h, band_h, axis=1)
-            # decomposable L1: sum abs err / full-image pixel count
-            loss = l1_w * jnp.sum(jnp.abs(img - tgt)) / (3 * height * width)
-            if ssim_w > 0.0:
-                from hugs_tpu.losses.basic import ssim
-                loss = loss + ssim_w * (1.0 - ssim(img, tgt)) / n_tile
-            return loss / n_data
+            pg = pg._replace(mean2d=pg.mean2d + hook)
+            img, overflowed, n_inst = band_render(pg, bg, t)
+            pkg = {"render": img,
+                   "radii": pg.radius,
+                   "visibility_filter": pg.mask & (pg.radius > 0)}
+            if render_human_separate:
+                # no hook on the separate pass: the reference takes
+                # viewspace grads from the main pass only (renderer.py
+                # render_human_scene, gs_trainer.py:316-342)
+                pg_h = project_gaussians(
+                    h_out["xyz"], h_out["scales"], h_out["rotq"],
+                    h_out["opacity"], h_out["shs"], camera, width, height,
+                    h_out["active_sh_degree"], alive=h_out["alive"])
+                img_h, _, _ = band_render(pg_h, hbg, t)
+                pkg["human_img"] = img_h
+                pkg["human_radii"] = pg_h.radius
+                pkg["human_visibility_filter"] = pg_h.mask & (
+                    pg_h.radius > 0)
+            data = {"camera": camera, "width": width, "height": height,
+                    "rgb": gt, "mask": mask}
+            total, loss_dict, _ = lf(key, data, pkg, h_out,
+                                     render_mode="human_scene",
+                                     bg_color=bg, human_bg_color=hbg)
+            # Replication accounting for the grad psum over 'tile':
+            #  - pixel terms: the loss is computed identically on every
+            #    tile chip from the gathered image, and all_gather's
+            #    transpose SUMS the n_tile identical cotangents before
+            #    scattering each chip its band — so the psum'd grad would
+            #    be n_tile x. Scale the pixel objective by 1/n_tile.
+            #  - the LBS term does not flow through pixels at all: every
+            #    chip would contribute the full grad, so gate it to the
+            #    tile=0 chip (counted exactly once).
+            # The REPORTED loss keeps the exact unscaled value.
+            lbs = loss_dict.get("lbs", jnp.float32(0.0))
+            objective = (total - lbs) / n_tile + lbs_gate * lbs
+            return objective / n_data, (total, loss_dict, pkg, h_out,
+                                        overflowed, n_inst)
 
-        loss, (h_grads, s_grads) = jax.value_and_grad(
-            local_loss, argnums=(0, 1))(h_params, sgs.params_of(s_gs))
+        (_, (total, loss_dict, pkg, h_out, overflowed, n_inst)), grads = \
+            jax.value_and_grad(compute_loss, argnums=(0, 1, 2),
+                               has_aux=True)(
+                h_params, sgs.params_of(s_gs), hook)
+        h_grads, s_grads, hook_grad = grads
 
         # one fused all-reduce over the whole mesh
-        h_grads, s_grads, loss = jax.lax.psum(
-            (h_grads, s_grads, loss), axis_name=("data", "tile"))
-
-        h_new, h_opt2 = group_adam_update(
-            h_grads._asdict(), h_opt, h_params._asdict(), h_lrs)
-        s_new, s_opt2 = group_adam_update(
-            s_grads, s_opt, sgs.params_of(s_gs), s_lrs)
-        return (hgs.HumanGS(**h_new), sgs.with_params(s_gs, s_new),
-                h_opt2, s_opt2, loss)
+        h_grads, s_grads, hook_grad = jax.lax.psum(
+            (h_grads, s_grads, hook_grad), axis_name=("data", "tile"))
+        loss = jax.lax.pmean(total, axis_name=("data", "tile"))
+        loss_dict = jax.lax.pmean(loss_dict, axis_name=("data", "tile"))
+        overflowed = jax.lax.psum(
+            overflowed.astype(jnp.int32), ("data", "tile")) > 0
+        n_inst = jax.lax.pmax(n_inst, ("data", "tile"))
+        # radii/visibility are replicated within a data row; max/or over
+        # 'data' matches the densify semantics "visible in any trained
+        # frame". Human stats come from the separate pass when humansep
+        # is on (single-device joint_step parity).
+        h_radii = pkg.get("human_radii", pkg["radii"][:h_cap])
+        h_vis = pkg.get("human_visibility_filter",
+                        pkg["visibility_filter"][:h_cap])
+        radii = jnp.concatenate([h_radii, pkg["radii"][h_cap:]])
+        vis = jnp.concatenate([h_vis, pkg["visibility_filter"][h_cap:]])
+        radii = jax.lax.pmax(radii, "data")
+        vis = jax.lax.pmax(vis.astype(jnp.int32), "data") > 0
+        return (h_grads, s_grads, hook_grad, loss, loss_dict, overflowed,
+                n_inst, radii, vis,
+                h_out["opacity"], h_out["scales_canon"],
+                h_out["rotmat_canon"])
 
     rep = P()
+    dshard = P("data")
     sharded = shard_map(
         worker, mesh=mesh,
-        in_specs=(rep, rep, rep, rep, rep,
-                  P("data"), P("data"), P("data"), P("data"), rep, rep),
-        out_specs=(rep, rep, rep, rep, rep),
+        in_specs=(rep, rep, rep,
+                  dshard, dshard, dshard, dshard, dshard, dshard, dshard,
+                  dshard),
+        out_specs=(rep,) * 12,
         check_vma=False,
     )
 
     @jax.jit
-    def step(jstate: JointTrainState, cameras, targets, smpl_scales,
-             dataset_idxs, h_lrs, s_lrs):
-        h_params2, s_gs2, h_opt2, s_opt2, loss = sharded(
-            jstate.human.params, jstate.human.state, jstate.scene.gs,
-            jstate.human.opt, jstate.scene.opt,
-            cameras, targets, smpl_scales, dataset_idxs, h_lrs, s_lrs)
+    def step(jstate: JointTrainState, cameras, targets, masks, bgs,
+             human_bgs, smpl_scales, dataset_idxs, keys,
+             h_xyz_lr, h_static_lrs, s_xyz_lr, s_static_lrs):
+        hstate, sstate = jstate.human, jstate.scene
+        (h_grads, s_grads, hook_grad, loss, loss_dict, overflowed, n_inst,
+         radii, vis, h_opac, h_scales_c, h_rotmat_c) = sharded(
+            hstate.params, hstate.state, sstate.gs,
+            cameras, targets, masks, bgs, human_bgs, smpl_scales,
+            dataset_idxs, keys)
+
+        h_cap = hstate.params.xyz.shape[0]
+        h_lrs = dict(h_static_lrs, xyz=h_xyz_lr)
+        h_new, h_opt = group_adam_update(
+            h_grads._asdict(), hstate.opt, hstate.params._asdict(), h_lrs)
+        if optim_scene:
+            s_lrs = dict(s_static_lrs, xyz=s_xyz_lr)
+            s_new, s_opt = group_adam_update(
+                s_grads, sstate.opt, sgs.params_of(sstate.gs), s_lrs)
+            new_s_gs = sgs.with_params(sstate.gs, s_new)
+        else:
+            s_opt, new_s_gs = sstate.opt, sstate.gs
+
+        # densification stats from the psum'd hook gradient (units:
+        # reference viewspace, see scene_step.py)
+        vs_grad = hook_grad * jnp.array([0.5 * width, 0.5 * height])
+        new_h_state = hgs.add_densification_stats(
+            hstate.state, vs_grad[:h_cap], radii[:h_cap], vis[:h_cap])
+        new_s_gs = sgs.add_densification_stats(
+            new_s_gs, vs_grad[h_cap:], radii[h_cap:], vis[h_cap:])
+
+        aux = {"loss": loss, "loss_dict": loss_dict,
+               "overflowed": overflowed, "n_instances": n_inst,
+               "opacity": h_opac, "scales_canon": h_scales_c,
+               "rotmat_canon": h_rotmat_c}
         return JointTrainState(
-            human=HumanTrainState(params=h_params2, state=jstate.human.state,
-                                  opt=h_opt2),
-            scene=SceneTrainState(gs=s_gs2, opt=s_opt2)), {"loss": loss}
+            human=HumanTrainState(params=hgs.HumanGS(**h_new),
+                                  state=new_h_state, opt=h_opt),
+            scene=SceneTrainState(gs=new_s_gs, opt=s_opt)), aux
 
     return step

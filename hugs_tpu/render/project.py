@@ -19,7 +19,6 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from hugs_tpu.ops.covariance import covariance_from_scaling_rotation
 from hugs_tpu.ops.sh import eval_sh_masked
 from hugs_tpu.render.camera import Camera
 
@@ -80,20 +79,51 @@ def project_gaussians(
 
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(inv_z)
-    # J: (N, 2, 3) Jacobian of (u, v) = (fx x/z, fy y/z)
-    J = jnp.stack([
-        jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], -1),
-        jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], -1),
-    ], -2)
-    # camera = x @ W3 (row-vector) => d t / d x = W3^T
-    W3t = wv[:3, :3].T
-    cov3d = covariance_from_scaling_rotation(scales, rotq, scaling_modifier)
-    M = J @ (W3t @ cov3d @ W3t.T)           # (N, 2, 3)
-    cov2d = M @ jnp.swapaxes(J, -1, -2)     # (N, 2, 2)
-    a = cov2d[..., 0, 0] + 0.3
-    c = cov2d[..., 1, 1] + 0.3
-    b = 0.5 * (cov2d[..., 0, 1] + cov2d[..., 1, 0])
+    # cov2d = (J W^T) Sigma (J W^T)^T expanded in CLOSED FORM over (N,)
+    # vectors: J is [[fx/z, 0, -fx tx/z^2], [0, fy/z, -fy ty/z^2]] and
+    # Sigma = R diag(s^2) R^T, so with u = row0(J W^T), v = row1(J W^T)
+    # and p = diag(s) R^T u^T, q = diag(s) R^T v^T:
+    #   cov2d = [[p.p, p.q], [p.q, q.q]].
+    # Batched (N,2,3)@(N,3,3) matmuls lower to tiny-matrix MXU ops on TPU
+    # (and their AD transposes dominated the projection backward); this
+    # formulation is ~50 VPU elementwise ops with an equally cheap
+    # backward. Math per the CUDA preprocessCUDA EWA chain
+    # (hugs/renderer/gs_renderer.py:141-152 call site).
+    a1 = focal_x * inv_z
+    a2 = -focal_x * tx * inv_z2
+    b1 = focal_y * inv_z
+    b2 = -focal_y * ty * inv_z2
+    # camera = x @ W3 (row-vector) => d t / d x = W3^T; rows of J @ W3^T
+    # mix constant wv columns
+    u0 = a1 * wv[0, 0] + a2 * wv[0, 2]
+    u1 = a1 * wv[1, 0] + a2 * wv[1, 2]
+    u2 = a1 * wv[2, 0] + a2 * wv[2, 2]
+    v0 = b1 * wv[0, 1] + b2 * wv[0, 2]
+    v1 = b1 * wv[1, 1] + b2 * wv[1, 2]
+    v2 = b1 * wv[2, 1] + b2 * wv[2, 2]
+    # rotation entries from the unit quaternion (same formulas/guard as
+    # ops.rotations.quat_to_matrix on the normalized quaternion)
+    qn = rotq / jnp.linalg.norm(rotq, axis=-1, keepdims=True).clip(1e-12)
+    qw, qx, qy, qz = qn[..., 0], qn[..., 1], qn[..., 2], qn[..., 3]
+    xs, ys, zs = 2.0 * qx, 2.0 * qy, 2.0 * qz
+    wx, wy, wz = qw * xs, qw * ys, qw * zs
+    xx, xy, xz = qx * xs, qx * ys, qx * zs
+    yy, yz, zz = qy * ys, qy * zs, qz * zs
+    r00, r01, r02 = 1.0 - (yy + zz), xy - wz, xz + wy
+    r10, r11, r12 = xy + wz, 1.0 - (xx + zz), yz - wx
+    r20, r21, r22 = xz - wy, yz + wx, 1.0 - (xx + yy)
+    s0 = scaling_modifier * scales[..., 0]
+    s1 = scaling_modifier * scales[..., 1]
+    s2 = scaling_modifier * scales[..., 2]
+    p0 = s0 * (r00 * u0 + r10 * u1 + r20 * u2)
+    p1 = s1 * (r01 * u0 + r11 * u1 + r21 * u2)
+    p2 = s2 * (r02 * u0 + r12 * u1 + r22 * u2)
+    q0 = s0 * (r00 * v0 + r10 * v1 + r20 * v2)
+    q1 = s1 * (r01 * v0 + r11 * v1 + r21 * v2)
+    q2 = s2 * (r02 * v0 + r12 * v1 + r22 * v2)
+    a = p0 * p0 + p1 * p1 + p2 * p2 + 0.3
+    c = q0 * q0 + q1 * q1 + q2 * q2 + 0.3
+    b = p0 * q0 + p1 * q1 + p2 * q2
 
     det = a * c - b * b
     det_safe = jnp.where(det <= 0, 1.0, det)

@@ -72,10 +72,19 @@ def tile_spans(pg: ProjectedGaussians, width: int, height: int,
     """Per-Gaussian covered tile rectangle [tx0, tx1) x [ty0, ty1)."""
     nx, ny = tile_grid(width, height, tile)
     r = pg.radius
-    tx0 = jnp.clip(((pg.mean2d[:, 0] - r) / tile).astype(jnp.int32), 0, nx)
-    ty0 = jnp.clip(((pg.mean2d[:, 1] - r) / tile).astype(jnp.int32), 0, ny)
-    tx1 = jnp.clip(((pg.mean2d[:, 0] + r) / tile).astype(jnp.int32) + 1, 0, nx)
-    ty1 = jnp.clip(((pg.mean2d[:, 1] + r) / tile).astype(jnp.int32) + 1, 0, ny)
+    # floor (not int32 trunc-toward-zero): band-sharded rendering feeds
+    # NEGATIVE band-local coordinates through here, and trunc would make
+    # a Gaussian ending within `tile` px above the band spuriously cover
+    # its first row — harmless alpha-wise (radius-cutoff zeroes it) but
+    # it perturbs tile_cap truncation vs the full-grid binning.
+    tx0 = jnp.clip(jnp.floor((pg.mean2d[:, 0] - r) / tile).astype(jnp.int32),
+                   0, nx)
+    ty0 = jnp.clip(jnp.floor((pg.mean2d[:, 1] - r) / tile).astype(jnp.int32),
+                   0, ny)
+    tx1 = jnp.clip(jnp.floor((pg.mean2d[:, 0] + r) / tile).astype(jnp.int32)
+                   + 1, 0, nx)
+    ty1 = jnp.clip(jnp.floor((pg.mean2d[:, 1] + r) / tile).astype(jnp.int32)
+                   + 1, 0, ny)
     w = jnp.where(pg.mask, tx1 - tx0, 0)
     h = jnp.where(pg.mask, ty1 - ty0, 0)
     return tx0, ty0, w, h, nx, ny

@@ -1,0 +1,122 @@
+"""Full-parity sharded training step == single-device joint step
+(VERDICT r1 item 4): identical loss trajectories on a 2-D (data, tile)
+mesh with the release HumanSceneLoss (masks, exact full-image SSIM,
+humansep pass, LBS) and densification-stat accumulation under shard_map.
+Also exercises the Pallas blend (interpret mode) under shard_map."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from hugs_tpu.cfg import default_config
+from hugs_tpu.models.smpl import synthetic_smpl
+from hugs_tpu.models import human_gs as hgs
+from hugs_tpu.models import scene_gs as sgs
+from hugs_tpu.models.human_gs import HumanGSConfig, init_human_gs
+from hugs_tpu.render import make_camera
+from hugs_tpu.losses.loss import HumanSceneLoss
+from hugs_tpu.train.human_step import (init_human_train_state,
+                                       make_human_lrs)
+from hugs_tpu.train.scene_step import (init_scene_train_state,
+                                       make_scene_lrs)
+from hugs_tpu.train.joint_step import JointTrainState, joint_train_step
+from hugs_tpu.parallel.train_dp_tile import make_dp_tile_train_step
+
+W, H = 64, 64
+
+
+def build_joint(seed=0):
+    key = jax.random.PRNGKey(seed)
+    smpl = synthetic_smpl(verts_per_bone=8)
+    cfg = HumanGSConfig(n_features=8, triplane_res=16, use_deformer=True,
+                        disable_posedirs=True)
+    params, state, fixed, init_values = init_human_gs(
+        key, cfg, smpl, smpl, jnp.zeros(10), n_frames=2, capacity=256)
+    pts = np.random.RandomState(1).uniform(-2, 2, (128, 3)).astype(
+        np.float32)
+    pts[:, 2] = np.abs(pts[:, 2]) * 0.5 + 3.0
+    gs = sgs.create_from_pcd(pts, np.full((128, 3), 0.5, np.float32), 256,
+                             max_sh_degree=3)
+    jstate = JointTrainState(human=init_human_train_state(params, state),
+                             scene=init_scene_train_state(gs))
+    cam = make_camera(jnp.eye(3), jnp.array([0.0, 0.2, 2.5]), 0.9, 0.9)
+    return cfg, jstate, fixed, cam
+
+
+def make_mesh2d(n_data, n_tile):
+    devs = np.array(jax.devices()[:n_data * n_tile]).reshape(
+        n_data, n_tile)
+    return Mesh(devs, ("data", "tile"))
+
+
+@pytest.mark.parametrize("backend", ["tiled", "pallas"])
+def test_sharded_step_matches_joint_step(backend):
+    cfg, jstate, fixed, cam = build_joint()
+    loss_fn = HumanSceneLoss(l_ssim_w=0.2, l_l1_w=0.8, l_lpips_w=0.0,
+                             l_lbs_w=10.0, l_humansep_w=1.0,
+                             use_patches=False)
+    lrcfg = default_config()
+    h_static, h_sched = make_human_lrs(lrcfg.human.lr, optim_pose=False,
+                                       optim_trans=False)
+    s_static, s_sched = make_scene_lrs(lrcfg.scene.lr, 4.0)
+    target = jax.random.uniform(jax.random.PRNGKey(3), (3, H, W))
+    mask = (jax.random.uniform(jax.random.PRNGKey(4), (H, W)) > 0.4
+            ).astype(jnp.float32)
+    bg = jnp.array([0.3, 0.2, 0.1])
+    hbg = jnp.array([0.9, 0.8, 0.7])
+
+    mesh = make_mesh2d(2, 4)
+    # tile=16 so 64px height splits into 4 bands of 16
+    sh_step = make_dp_tile_train_step(
+        mesh, fixed, cfg, width=W, height=H, loss_fn=loss_fn,
+        tile_cap=256, instance_budget=16384, tile=16, backend=backend)
+
+    js_sh = jstate
+    js_1 = jstate
+    n_steps = 6 if backend == "tiled" else 2
+    for it in range(n_steps):
+        key = jax.random.PRNGKey(100 + it)
+        h_lr = jnp.float32(h_sched(it))
+        s_lr = jnp.float32(s_sched(it))
+        # batch of 2 identical frames: grads average to the single-frame
+        # grad, so the trajectory must match the single-device step
+        stack = lambda x: jnp.stack([x, x])
+        js_sh, aux_sh = sh_step(
+            js_sh, jax.tree.map(stack, cam), stack(target), stack(mask),
+            stack(bg), stack(hbg), stack(jnp.float32(1.0)),
+            stack(jnp.int32(0)), stack(key),
+            h_lr, h_static, s_lr, s_static)
+        js_1, aux_1 = joint_train_step(
+            js_1, fixed, cam, target, mask, bg, hbg, jnp.float32(1.0),
+            jnp.int32(0), key, h_lr, h_static, s_lr, s_static,
+            cfg=cfg, loss_fn=loss_fn, width=W, height=H,
+            backend="tiled", instance_budget=16384, tile_cap=256, tile=16,
+            render_human_separate=True)
+        if it == 0:
+            # before any update the states are identical, so the sharded
+            # loss must match the single-device loss EXACTLY (the band
+            # renders are bit-equal; only grad psum order differs)
+            np.testing.assert_allclose(float(aux_sh["loss"]),
+                                       float(aux_1["loss"]), atol=1e-6)
+            # densification stats after one step: pure |grad| sums with
+            # no optimizer amplification — tight parity
+            np.testing.assert_allclose(
+                np.asarray(js_sh.human.state.xyz_gradient_accum),
+                np.asarray(js_1.human.state.xyz_gradient_accum),
+                rtol=1e-3, atol=1e-7)
+            np.testing.assert_allclose(
+                np.asarray(js_sh.scene.gs.xyz_gradient_accum),
+                np.asarray(js_1.scene.gs.xyz_gradient_accum),
+                rtol=1e-3, atol=1e-7)
+        else:
+            # After updates the trajectories drift at a BOUNDED rate:
+            # Adam's first step is ~lr*sign(grad), so fp-summation-order
+            # differences (band-partial psum vs full-image reduction) on
+            # near-zero grads flip to full-lr param differences. That is
+            # intrinsic to comparing different reduction orders, not a
+            # semantic gap — so assert closeness, not identity.
+            np.testing.assert_allclose(float(aux_sh["loss"]),
+                                       float(aux_1["loss"]),
+                                       rtol=3e-3)
+    assert np.isfinite(float(aux_sh["loss"]))

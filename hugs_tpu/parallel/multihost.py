@@ -99,9 +99,17 @@ def make_hybrid_mesh(n_tile: int | None = None,
     if n_proc == 1:
         devs = mesh_utils.create_device_mesh((ici_data, n_tile))
         return Mesh(devs, axis_names)
-    devs = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(ici_data, n_tile),
-        dcn_mesh_shape=(n_proc, 1))
+    try:
+        devs = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(ici_data, n_tile),
+            dcn_mesh_shape=(n_proc, 1))
+    except ValueError:
+        # devices without distinct slice_index attrs (the CPU simulation;
+        # also single-ICI-domain topologies): group by process instead —
+        # same layout, outermost 'data' dim = process granule
+        devs = sorted(jax.devices(),
+                      key=lambda d: (d.process_index, d.id))
+        devs = np.array(devs).reshape(n_proc * ici_data, n_tile)
     return Mesh(devs, axis_names)
 
 

@@ -62,7 +62,7 @@ def worker(args):
     from __graft_entry__ import _build_models
 
     n_proc = jax.process_count()
-    rank = jax.process_id()
+    rank = jax.process_index()
     mesh = make_hybrid_mesh(n_tile=args.n_tile)
     n_data = mesh.shape["data"]
     local_frames = n_data // n_proc
@@ -144,6 +144,10 @@ def launcher(args):
         env_base = dict(os.environ)
         env_base["PALLAS_AXON_POOL_IPS"] = ""
         env_base["JAX_PLATFORMS"] = "cpu"
+        # the axon sitecustomize sets TPU_WORKER_HOSTNAMES in this
+        # (launcher) process; scrub pod-autodetect vars from the sim env
+        for v in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
+            env_base.pop(v, None)
         env_base["XLA_FLAGS"] = (
             f"--xla_force_host_platform_device_count={args.local_devices}")
         procs = []

@@ -118,7 +118,8 @@ def default_config() -> Config:
         "train": {
             "batch_size": 1, "num_workers": 0, "num_steps": 30_000,
             "save_ckpt_interval": 4000, "val_interval": 2000,
-            "anim_interval": 4000, "optim_scene": True,
+            "anim_interval": 4000, "anim_batch_size": 1,
+            "optim_scene": True,
             "save_progress_images": False, "progress_save_interval": 10,
         },
         "human": {

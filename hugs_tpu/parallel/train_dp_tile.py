@@ -67,8 +67,9 @@ def make_dp_tile_train_step(
            dataset_idxs, keys, h_xyz_lr, h_static_lrs, s_xyz_lr,
            s_static_lrs) -> (jstate, aux)
     where cameras/targets/masks/bgs/human_bgs/smpl_scales/dataset_idxs/
-    keys have leading dim = mesh.shape['data'] (the trained batch), and
-    targets/masks are full-resolution frames.
+    keys have leading dim = a multiple of mesh.shape['data'] (the trained
+    batch; each chip row vmaps over its local batch of
+    dim / n_data frames), and targets/masks are full-resolution frames.
 
     backend: 'tiled' (XLA blend) or 'pallas' (the TPU kernel; runs in
     interpret mode off-TPU, so the CPU-mesh tests exercise the real
@@ -98,17 +99,21 @@ def make_dp_tile_train_step(
 
     def worker(h_params, h_state, s_gs, camera, gt, mask, bg, hbg,
                smpl_scale, dataset_idx, key):
-        # data-sharded args arrive with a leading local batch of 1
-        camera, gt, mask, bg, hbg, smpl_scale, dataset_idx, key = (
-            jax.tree.map(lambda x: x[0], (camera, gt, mask, bg, hbg,
-                                          smpl_scale, dataset_idx, key)))
+        # data-sharded args arrive with a leading LOCAL batch axis: the
+        # step trains n_data * B frames per call (B > 1 when the trainer
+        # batch_size exceeds the data-axis device count — the batch IS
+        # the 'data' axis, extended per-chip by vmap).
+        frames = (camera, gt, mask, bg, hbg, smpl_scale, dataset_idx, key)
+        local_b = gt.shape[0]
         t = jax.lax.axis_index("tile")
         h_cap = h_params.xyz.shape[0]
         s_cap = s_gs.capacity
         hook = jnp.zeros((h_cap + s_cap, 2))
         lbs_gate = (t == 0).astype(jnp.float32)
 
-        def compute_loss(h_params, s_params, hook):
+        def frame_loss(h_params, s_params, hook, frame):
+            camera, gt, mask, bg, hbg, smpl_scale, dataset_idx, key = \
+                frame
             h_out = hgs.human_forward(h_params, h_state, fixed, cfg,
                                       smpl_scale=smpl_scale,
                                       dataset_idx=dataset_idx)
@@ -159,14 +164,44 @@ def make_dp_tile_train_step(
             # The REPORTED loss keeps the exact unscaled value.
             lbs = loss_dict.get("lbs", jnp.float32(0.0))
             objective = (total - lbs) / n_tile + lbs_gate * lbs
-            return objective / n_data, (total, loss_dict, pkg, h_out,
-                                        overflowed, n_inst)
+            # radii/visibility for densify stats, merged human/scene here
+            # so the per-frame aux stays small under vmap. Human stats
+            # come from the separate pass when humansep is on
+            # (single-device joint_step parity).
+            h_radii = pkg.get("human_radii", pkg["radii"][:h_cap])
+            h_vis = pkg.get("human_visibility_filter",
+                            pkg["visibility_filter"][:h_cap])
+            radii = jnp.concatenate([h_radii, pkg["radii"][h_cap:]])
+            vis = jnp.concatenate([h_vis, pkg["visibility_filter"][h_cap:]])
+            aux = (total, loss_dict, overflowed, n_inst, radii, vis,
+                   h_out["opacity"], h_out["scales_canon"],
+                   h_out["rotmat_canon"])
+            return objective / (n_data * local_b), aux
 
-        (_, (total, loss_dict, pkg, h_out, overflowed, n_inst)), grads = \
-            jax.value_and_grad(compute_loss, argnums=(0, 1, 2),
+        def batch_loss(h_params, s_params, hook):
+            objs, auxs = jax.vmap(
+                lambda fr: frame_loss(h_params, s_params, hook, fr))(
+                frames)
+            return jnp.sum(objs), auxs
+
+        (_, auxs), grads = \
+            jax.value_and_grad(batch_loss, argnums=(0, 1, 2),
                                has_aux=True)(
                 h_params, sgs.params_of(s_gs), hook)
         h_grads, s_grads, hook_grad = grads
+        (total, loss_dict, overflowed, n_inst, radii, vis,
+         h_opac, h_scales_c, h_rotmat_c) = auxs
+        # reduce the local batch: mean losses, any-overflow, max instance
+        # count, any-frame visibility; canonical quantities (opacity,
+        # canon scales/rotations) are frame-independent -> frame 0.
+        total = jnp.mean(total)
+        loss_dict = jax.tree.map(lambda x: jnp.mean(x, axis=0), loss_dict)
+        overflowed = jnp.any(overflowed)
+        n_inst = jnp.max(n_inst)
+        radii = jnp.max(radii, axis=0)
+        vis = jnp.any(vis, axis=0)
+        h_opac, h_scales_c, h_rotmat_c = (
+            h_opac[0], h_scales_c[0], h_rotmat_c[0])
 
         # one fused all-reduce over the whole mesh
         h_grads, s_grads, hook_grad = jax.lax.psum(
@@ -178,19 +213,11 @@ def make_dp_tile_train_step(
         n_inst = jax.lax.pmax(n_inst, ("data", "tile"))
         # radii/visibility are replicated within a data row; max/or over
         # 'data' matches the densify semantics "visible in any trained
-        # frame". Human stats come from the separate pass when humansep
-        # is on (single-device joint_step parity).
-        h_radii = pkg.get("human_radii", pkg["radii"][:h_cap])
-        h_vis = pkg.get("human_visibility_filter",
-                        pkg["visibility_filter"][:h_cap])
-        radii = jnp.concatenate([h_radii, pkg["radii"][h_cap:]])
-        vis = jnp.concatenate([h_vis, pkg["visibility_filter"][h_cap:]])
+        # frame".
         radii = jax.lax.pmax(radii, "data")
         vis = jax.lax.pmax(vis.astype(jnp.int32), "data") > 0
         return (h_grads, s_grads, hook_grad, loss, loss_dict, overflowed,
-                n_inst, radii, vis,
-                h_out["opacity"], h_out["scales_canon"],
-                h_out["rotmat_canon"])
+                n_inst, radii, vis, h_opac, h_scales_c, h_rotmat_c)
 
     rep = P()
     dshard = P("data")

@@ -211,6 +211,8 @@ class GaussianTrainer:
 
     def train(self):
         cfg = self.cfg
+        if int(cfg.train.get("batch_size", 1) or 1) > 1:
+            return self._train_batched()
         n = len(self.train_dataset)
         order = self.rng.permutation(n)
         pos = 0
@@ -296,6 +298,100 @@ class GaussianTrainer:
             self._maybe_densify_human(t_iter, aux)
             self._maybe_densify_scene(t_iter)
         return aux
+
+    # -------------------------------------------------- batched training
+
+    def _get_dp_step(self, W, H, n_data):
+        """Build (and cache) the dp x tile sharded joint step used for
+        train.batch_size > 1: frames are the 'data' axis, spread over
+        n_data devices with the remainder vmapped per chip."""
+        key = (W, H, n_data, self._ibudget)
+        if getattr(self, "_dp_cache_key", None) != key:
+            from jax.sharding import Mesh
+            from hugs_tpu.parallel.train_dp_tile import \
+                make_dp_tile_train_step
+            devs = np.array(jax.devices()[:n_data]).reshape(n_data, 1)
+            mesh = Mesh(devs, ("data", "tile"))
+            t = self.cfg.tpu
+            self._dp_step = make_dp_tile_train_step(
+                mesh, self.fixed, self.human_cfg, width=W, height=H,
+                loss_fn=self.loss_fn,
+                lpips=(self.lpips if self.loss_fn.l_lpips_w > 0 else None),
+                tile_cap=int(t.tile_cap), instance_budget=self._ibudget,
+                backend=t.render_backend,
+                optim_scene=self.cfg.train.optim_scene)
+            self._dp_cache_key = key
+        return self._dp_step
+
+    def _train_batched(self):
+        """Train with batch_size frames per step through the dp x tile
+        sharded joint step (the batch is the 'data' mesh axis; BASELINE
+        config 5 / VERDICT r1 item 6). Requires human_scene mode."""
+        cfg = self.cfg
+        bsz = int(cfg.train.batch_size)
+        if cfg.mode != "human_scene" or self.human is None \
+                or self.scene is None:
+            raise ValueError(
+                "train.batch_size > 1 runs the joint dp x tile sharded "
+                "step and needs mode='human_scene' (got mode="
+                f"'{cfg.mode}')")
+        if cfg.scene.opt_start_iter > 0:
+            raise ValueError("batch_size > 1 with a delayed "
+                             "scene.opt_start_iter is not supported")
+        # largest divisor of the batch that fits the local device count
+        n_dev = len(jax.devices())
+        n_data = max(d for d in range(1, min(bsz, n_dev) + 1)
+                     if bsz % d == 0)
+        n = len(self.train_dataset)
+        order = self.rng.permutation(n)
+        pos = 0
+        log = []
+        t_start = time.time()
+        for t_iter in range(cfg.train.num_steps + 1):
+            idxs = []
+            for _ in range(bsz):
+                if pos >= n:
+                    order = self.rng.permutation(n)
+                    pos = 0
+                idxs.append(int(order[pos]))
+                pos += 1
+            datas = [self.train_dataset[i] for i in idxs]
+            W, H = datas[0]["width"], datas[0]["height"]
+            cams = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                *[d["camera"] for d in datas])
+            gts = jnp.stack([jnp.asarray(d["rgb"]) for d in datas])
+            masks = jnp.stack([jnp.asarray(d["mask"]) for d in datas])
+            scales = jnp.stack([jnp.asarray(
+                d.get("smpl_scale", 1.0), jnp.float32).reshape(())
+                for d in datas])
+            didx = jnp.asarray(idxs, jnp.int32)
+            self.key, k_step, k_bg, k_hbg = jax.random.split(self.key, 4)
+            bgs = jax.random.uniform(k_bg, (bsz, 3))
+            hbgs = jax.random.uniform(k_hbg, (bsz, 3))
+            keys = jax.random.split(k_step, bsz)
+            h_lr = jnp.float32(self.h_xyz_sched(t_iter))
+            s_lr = jnp.float32(self.s_xyz_sched(t_iter))
+            for _attempt in range(3):
+                snap = (self.human, self.scene, self.key)
+                step = self._get_dp_step(W, H, n_data)
+                jstate, aux = step(
+                    JointTrainState(human=self.human, scene=self.scene),
+                    cams, gts, masks, bgs, hbgs, scales, didx, keys,
+                    h_lr, self.h_static_lrs, s_lr, self.s_static_lrs)
+                self.human, self.scene = jstate.human, jstate.scene
+                if not self._check_budget(aux):
+                    break
+                self.human, self.scene, self.key = snap
+            else:
+                print(f"WARNING: tile-instance budget overflow persists "
+                      f"at iter {t_iter} (budget={self._ibudget})")
+            self._maybe_densify_human(t_iter, aux)
+            self._maybe_densify_scene(t_iter)
+            if t_iter % 10 == 0:
+                log.append({"iter": t_iter, "loss": float(aux["loss"]),
+                            "elapsed_s": time.time() - t_start})
+            self._periodic(t_iter, aux, datas[0])
+        return log
 
     def _maybe_densify_scene(self, t_iter):
         cfg = self.cfg
@@ -457,22 +553,108 @@ class GaussianTrainer:
 
     # ------------------------------------------------------- animation
 
-    def animate(self, t_iter=None, keep_images=True):
+    def _anim_render_one(self, W, H, render_mode):
+        """Pure per-frame anim render fn (vmap/shard_map-able): frame =
+        (camera, global_orient, body_pose, betas, transl, smpl_scale,
+        ext_tfs) -> (3, H, W)."""
+        fixed, hcfg = self.fixed, self.human_cfg
+        rkw = self._render_kw()
+        bgc = self.bg_color
+
+        def render_one(h_params, h_state, s_gs, frame):
+            cam, go, bp, betas, transl, smpl_scale, ext = frame
+            h_out = hgs.human_forward(
+                h_params, h_state, fixed, hcfg, global_orient=go,
+                body_pose=bp, betas=betas, transl=transl,
+                smpl_scale=smpl_scale, dataset_idx=0, ext_tfs=ext)
+            s_out = sgs.scene_forward(s_gs) if s_gs is not None else None
+            pkg = render_human_scene(
+                {"camera": cam, "width": W, "height": H}, h_out, s_out,
+                bg_color=bgc, render_mode=render_mode, **rkw)
+            return pkg["render"]
+
+        return render_one
+
+    def _animate_batched(self, batch_size, mesh=None):
+        """Render the anim split in stacked batches: frames are vmapped
+        on one device or data-sharded over `mesh` via
+        batch_render_sharded (BASELINE config 5: AMASS mocap at batch>1
+        on sharded chips). Per-frame parity vs the batch=1 loop is
+        tested in tests/test_batch.py."""
+        ds = self.anim_dataset
+        n = len(ds)
+        datas = [ds[i] for i in range(n)]
+        W, H = datas[0]["width"], datas[0]["height"]
+
+        def fields(d):
+            ext = (jnp.asarray(d["manual_trans"]),
+                   jnp.asarray(d["manual_rotmat"]),
+                   jnp.asarray(d["manual_scale"]).reshape(()))
+            return (d["camera"], jnp.asarray(d["global_orient"]),
+                    jnp.asarray(d["body_pose"]), jnp.asarray(d["betas"]),
+                    jnp.asarray(d["transl"]),
+                    jnp.asarray(d.get("smpl_scale", 1.0),
+                                jnp.float32).reshape(()), ext)
+
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[fields(d) for d in datas])
+        pad = (-n) % batch_size
+        if pad:  # repeat the last frame up to a full batch
+            stacked = jax.tree.map(
+                lambda x: jnp.concatenate(
+                    [x, jnp.repeat(x[-1:], pad, axis=0)]), stacked)
+        render_mode = "human_scene" if (
+            self.cfg.mode == "human_scene" and self.scene is not None) \
+            else "human"
+        render_one = self._anim_render_one(W, H, render_mode)
+        h_params, h_state = self.human.params, self.human.state
+        s_gs = self.scene.gs if render_mode == "human_scene" else None
+        if mesh is not None:
+            from hugs_tpu.parallel.shard import batch_render_sharded
+
+            def run(chunk):
+                return batch_render_sharded(
+                    lambda fr: render_one(h_params, h_state, s_gs, fr),
+                    chunk, mesh)
+        else:
+            rb = jax.jit(jax.vmap(render_one,
+                                  in_axes=(None, None, None, 0)))
+
+            def run(chunk):
+                return rb(h_params, h_state, s_gs, chunk)
+
+        frames = []
+        for c0 in range(0, n + pad, batch_size):
+            chunk = jax.tree.map(lambda x: x[c0:c0 + batch_size], stacked)
+            frames += [np.asarray(im) for im in run(chunk)]
+        return frames[:n]
+
+    def animate(self, t_iter=None, keep_images=True, batch_size=None,
+                mesh=None):
         if self.anim_dataset is None:
             return []
         iter_s = "final" if t_iter is None else f"{t_iter:06d}"
         anim_dir = f"{self.cfg.logdir}/anim/{iter_s}" \
             if self.cfg.logdir else None
-        frames = []
-        for idx in range(len(self.anim_dataset)):
-            data = self.anim_dataset[idx]
-            ext_tfs = (jnp.asarray(data["manual_trans"]),
-                       jnp.asarray(data["manual_rotmat"]),
-                       jnp.asarray(data["manual_scale"]).reshape(()))
-            pkg = self.render_frame(data, ext_tfs=ext_tfs)
-            frames.append(np.asarray(pkg["render"]))
+        bsz = int(batch_size
+                  or self.cfg.train.get("anim_batch_size", 1) or 1)
+        if bsz > 1 and self.human is not None \
+                and len(self.anim_dataset) > 1:
+            frames = self._animate_batched(bsz, mesh=mesh)
             if anim_dir:
-                save_png(frames[-1], f"{anim_dir}/{idx:05d}.png")
+                for idx, fr in enumerate(frames):
+                    save_png(fr, f"{anim_dir}/{idx:05d}.png")
+        else:
+            frames = []
+            for idx in range(len(self.anim_dataset)):
+                data = self.anim_dataset[idx]
+                ext_tfs = (jnp.asarray(data["manual_trans"]),
+                           jnp.asarray(data["manual_rotmat"]),
+                           jnp.asarray(data["manual_scale"]).reshape(()))
+                pkg = self.render_frame(data, ext_tfs=ext_tfs)
+                frames.append(np.asarray(pkg["render"]))
+                if anim_dir:
+                    save_png(frames[-1], f"{anim_dir}/{idx:05d}.png")
         if anim_dir and len(frames) > 1:
             # reference writes an ffmpeg video per animate() call
             # (gs_trainer.py:582-586 via utils/general.py:86-92)

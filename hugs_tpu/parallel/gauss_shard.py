@@ -177,8 +177,6 @@ def render_gauss_sharded(
         zi = jnp.zeros((), jnp.int32)
         bins_frag = TileBins(
             gauss_id=jnp.arange(nfrag, dtype=jnp.int32),
-            gid_presort=jnp.zeros(1, jnp.int32),
-            newpos=jnp.zeros(1, jnp.int32),
             starts=f_starts, ends=f_ends,
             n_instances=zi, aligned_total=zi,
             overflowed=jnp.bool_(False))

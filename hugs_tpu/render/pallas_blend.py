@@ -94,6 +94,23 @@ def _split_mm(x, m):
     return out + jnp.dot(lo, mb, preferred_element_type=jnp.float32)
 
 
+def _split_mm3(x, y, dims):
+    """dot_general(x, y, dims) at ~f32 accuracy in 3 bf16 MXU passes.
+
+    Both operands hi/lo-split; the dropped lo@lo term is <= 2^-18
+    relative. Replaces Precision.HIGHEST (6 passes) on the kernels'
+    small-K / narrow-output matmuls, whose cost is pass-count-dominated
+    (measured 1.4us/chunk at HIGHEST — the single largest fixed cost of
+    the backward walk)."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    yh = y.astype(jnp.bfloat16)
+    yl = (y - yh.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                          preferred_element_type=jnp.float32)
+    return d(xh, yh) + d(xh, yl) + d(xl, yh)
+
+
 def _tile_pixels(t, nx, tile):
     """Pixel-center coords of tile t as (P, 1) sublane vectors."""
     P = tile * tile
@@ -110,6 +127,8 @@ def _chunk_alpha(chunk, valid, px, py):
 
     chunk: (N_FEAT, CHUNK) feature rows; valid: (1, CHUNK) mask;
     px, py: (P, 1). Exactly the oracle's gaussian_alpha semantics.
+    Also returns the quadratic subexpressions (dx, dy, dx2, dy2, dxy,
+    power) so the backward reuses them instead of re-multiplying.
     """
     mx = chunk[F_MX, :][None, :]
     my = chunk[F_MY, :][None, :]
@@ -121,11 +140,14 @@ def _chunk_alpha(chunk, valid, px, py):
 
     dx = mx - px                        # (P, CHUNK)
     dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    dx2 = dx * dx
+    dy2 = dy * dy
+    dxy = dx * dy
+    power = -0.5 * (ca * dx2 + cc * dy2) - cb * dxy
     alpha = jnp.minimum(MAX_ALPHA, op * jnp.exp(jnp.minimum(power, 0.0)))
     keep = (power <= 0.0) & (alpha >= MIN_ALPHA) \
-        & (dx * dx + dy * dy <= rad * rad) & (valid > 0)
-    return jnp.where(keep, alpha, 0.0), dx, dy, power
+        & (dx2 + dy2 <= rad * rad) & (valid > 0)
+    return jnp.where(keep, alpha, 0.0), dx, dy, dx2, dy2, dxy, power
 
 
 TPC = 8  # tiles (subtiles) per grid cell — amortizes per-cell pipeline
@@ -237,15 +259,13 @@ def _fwd_kernel(starts_ref, counts_ref,          # scalar prefetch (SMEM)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         valid = (lane < (count_s - ci * CHUNK)).astype(jnp.float32)
 
-        alpha, _, _, _ = _chunk_alpha(chunk, valid, px, py)
+        alpha = _chunk_alpha(chunk, valid, px, py)[0]
         la = jnp.log1p(-alpha)                        # (P, CHUNK)
         pre = _split_mm(la, _tri_excl()) + log_t
         trans = jnp.exp(jnp.maximum(pre, _LOG_EPS))
         w = alpha * trans * (pre >= LOG_TEPS)         # (P, CHUNK)
-        color = color + jax.lax.dot_general(
-            chunk[0:8, :], w, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)      # (8, P)
+        color = color + _split_mm3(
+            chunk[0:8, :], w, (((1,), (1,)), ((), ())))   # (8, P)
         log_t = log_t + jnp.sum(la, axis=1, keepdims=True)
         acc_ref[...] = color
         logt_ref[...] = log_t
@@ -305,6 +325,7 @@ def _bwd_kernel(starts_ref, counts_ref,          # counts are EFFECTIVE:
                 gout_ref,                        # (TPC, 8, P): dL/dout
                 ginst_hbm,                       # (N_FEAT, I) output in HBM
                 buf, gbuf, sems, gsems,
+                g_scr, ltf_scr, sufs0_scr,
                 *, nx, tile, tpc):
     c = pl.program_id(0)
     P = tile * tile
@@ -332,9 +353,13 @@ def _bwd_kernel(starts_ref, counts_ref,          # counts are EFFECTIVE:
             gbuf.at[slot], ginst_hbm.at[:, pl.ds(start, CHUNK)],
             gsems.at[slot])
 
-    @pl.when(total > 0)
-    def _():
-        get_dma(0, total - 1).start()
+    NB = 4  # DMA pipeline depth: the reverse walk is linear (no
+    #         saturation jumps), so gets prefetch 3 chunks ahead and puts
+    #         drain 4 behind — per-chunk DMA latency fully hidden
+    for d in range(NB - 1):
+        @pl.when(total > d)
+        def _(d=d):
+            get_dma(d, total - 1 - d).start()
 
     # reverse walk over the cell's flattened PROCESSED-chunk list (counts
     # were shortened to what the forward actually blended before
@@ -344,82 +369,99 @@ def _bwd_kernel(starts_ref, counts_ref,          # counts are EFFECTIVE:
     def body(i, carry):
         k = total - 1 - i
         suf_log, suf_s = carry
-        slot = i % 2
+        slot = i % NB
 
-        @pl.when(i + 1 < total)
+        @pl.when(i + (NB - 1) < total)
         def _():
-            get_dma(1 - slot, k - 1).start()
+            get_dma((i + NB - 1) % NB, k - (NB - 1)).start()
 
         get_dma(slot, k).wait()
         chunk = buf[slot]
 
         s, ci, _, count_s, nch_s = _chunk_ctx(k, counts, nch, cum, starts,
                                               tpc)
-        # per-subtile pixel grads + saved final logT (dynamic VMEM reads)
-        g = gout_ref[pl.ds(s, 1), :, :][0]            # (8, P)
-        g = jnp.where(row < 3, g, 0.0)
-        fout = fout_ref[pl.ds(s, 1), :, :][0]
-        logt_row = jnp.sum(jnp.where(row == 3, fout, 0.0), axis=0,
-                           keepdims=True)             # (1, P)
-        log_t_fin = row_to_col(logt_row)              # (P, 1)
-        # bg weight carries the [T_fin >= T_EPS] indicator (oracle.py)
-        t_fin = jnp.exp(jnp.maximum(log_t_fin, _LOG_EPS)) \
-            * (log_t_fin >= LOG_TEPS)
-        g_bg = row_to_col(jnp.sum(g * bg_ref[:, :], axis=0, keepdims=True))
-
         first_visit = (ci == nch_s - 1)
+
+        # per-SUBTILE quantities (pixel grads, saved final logT, bg
+        # suffix seed) are hoisted into scratch on the subtile's first
+        # visit: the dynamic (8, P) VMEM slices, the (P, 1) lift matmuls
+        # and the exp run once per subtile, not once per chunk (the
+        # per-chunk fixed costs — tiny matmuls, dynamic slices, DMA
+        # waits — dominate this kernel, not the (P, CHUNK) vector math).
+        @pl.when(first_visit)
+        def _():
+            g0 = gout_ref[pl.ds(s, 1), :, :][0]       # (8, P)
+            g0 = jnp.where(row < 3, g0, 0.0)
+            g_scr[...] = g0
+            fout = fout_ref[pl.ds(s, 1), :, :][0]
+            logt_row = jnp.sum(jnp.where(row == 3, fout, 0.0), axis=0,
+                               keepdims=True)         # (1, P)
+            ltf = row_to_col(logt_row)                # (P, 1)
+            ltf_scr[...] = ltf
+            # bg weight carries the [T_fin >= T_EPS] indicator (oracle.py)
+            t_fin = jnp.exp(jnp.maximum(ltf, _LOG_EPS)) \
+                * (ltf >= LOG_TEPS)
+            g_bg = row_to_col(jnp.sum(g0 * bg_ref[:, :], axis=0,
+                                      keepdims=True))
+            sufs0_scr[...] = g_bg * t_fin
+
+        g = g_scr[...]
+        log_t_fin = ltf_scr[...]
         suf_log = jnp.where(first_visit, 0.0, suf_log)
-        suf_s = jnp.where(first_visit, g_bg * t_fin, suf_s)
+        suf_s = jnp.where(first_visit, sufs0_scr[...], suf_s)
 
         t = t0 + s
         px, py = _tile_pixels(t, nx, tile)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         valid = (lane < (count_s - ci * CHUNK)).astype(jnp.float32)
 
-        alpha, dx, dy, power = _chunk_alpha(chunk, valid, px, py)
+        alpha, dx, dy, dx2, dy2, dxy, power = _chunk_alpha(
+            chunk, valid, px, py)
         live = alpha > 0.0
         la = jnp.log1p(-alpha)
 
         suf_in = _split_mm(la, _suf_excl()) + la + suf_log
         pre = log_t_fin - suf_in                       # log T_i (excl)
         trans = jnp.exp(jnp.maximum(pre, _LOG_EPS))    # T_i
-        ind = (pre >= LOG_TEPS).astype(jnp.float32)    # [T_i >= T_EPS]
-        w = alpha * trans * ind                        # (P, CHUNK)
+        # ti carries the [T_i >= T_EPS] early-stop indicator
+        ti = jnp.where(pre >= LOG_TEPS, trans, 0.0)
+        w = alpha * ti                                 # (P, CHUNK)
 
-        gc = jax.lax.dot_general(                      # (P, CHUNK)
-            g, chunk[0:8, :], dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        gc = _split_mm3(                               # (P, CHUNK)
+            g, chunk[0:8, :], (((0,), (0,)), ((), ())))
 
         wgc = w * gc
         s_in = _split_mm(wgc, _suf_excl()) + suf_s
 
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
-        d_alpha = jnp.where(live, gc * trans * ind - s_in / one_m, 0.0)
+        d_alpha = jnp.where(live, gc * ti - s_in / one_m, 0.0)
 
+        # where live & unclamped: alpha == op * G with G = exp(min(power,
+        # 0)), so d_power = d_alpha * op * G = d_alpha * alpha exactly and
+        # G = alpha / op — no exp recompute (one transcendental saved).
+        # The 1/op reciprocal is a (1, CHUNK) row op, not a (P, CHUNK)
+        # divide.
         unclamped = (alpha < MAX_ALPHA)
-        G = jnp.exp(jnp.minimum(power, 0.0))
         op = chunk[F_OP, :][None, :]
-        d_op = jnp.where(unclamped & live, d_alpha * G, 0.0)
-        d_power = jnp.where(unclamped & live & (power < 0.0),
-                            d_alpha * op * G, 0.0)
+        recip_op = 1.0 / jnp.maximum(op, 1e-12)        # (1, CHUNK)
+        dpa = d_alpha * alpha
+        d_op = jnp.where(unclamped & live, dpa * recip_op, 0.0)
+        d_power = jnp.where(unclamped & live & (power < 0.0), dpa, 0.0)
 
         ca = chunk[F_CA, :][None, :]
         cb = chunk[F_CB, :][None, :]
         cc = chunk[F_CC, :][None, :]
         d_mx = d_power * (-(ca * dx + cb * dy))
         d_my = d_power * (-(cc * dy + cb * dx))
-        d_ca = d_power * (-0.5 * dx * dx)
-        d_cb = d_power * (-dx * dy)
-        d_cc = d_power * (-0.5 * dy * dy)
+        d_ca = d_power * (-0.5 * dx2)
+        d_cb = d_power * (-dxy)
+        d_cc = d_power * (-0.5 * dy2)
 
         def red(x):                                    # (1, CHUNK)
             return jnp.sum(x, axis=0, keepdims=True)
 
-        d_rgb = jax.lax.dot_general(                   # (8, CHUNK)
-            g, w, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        d_rgb = _split_mm3(                            # (8, CHUNK)
+            g, w, (((1,), (0,)), ((), ())))
         d_rgb16 = jnp.concatenate(
             [d_rgb, jnp.zeros((N_FEAT - 8, CHUNK), jnp.float32)], axis=0)
         scal16 = jnp.concatenate(
@@ -429,7 +471,7 @@ def _bwd_kernel(starts_ref, counts_ref,          # counts are EFFECTIVE:
              jnp.zeros((N_FEAT - 9, CHUNK), jnp.float32)], axis=0)
         gchunk = d_rgb16 + scal16                      # (N_FEAT, CHUNK)
 
-        @pl.when(i >= 2)
+        @pl.when(i >= NB)
         def _():
             put_dma(slot, k).wait()  # waits the slot's previous write
         gbuf[slot] = gchunk
@@ -442,13 +484,10 @@ def _bwd_kernel(starts_ref, counts_ref,          # counts are EFFECTIVE:
     suf0 = jnp.zeros((P, 1), jnp.float32)
     jax.lax.fori_loop(0, total, body, (suf0, suf0))
 
-    @pl.when(total >= 2)
-    def _():
-        put_dma((total - 2) % 2, 0).wait()
-
-    @pl.when(total >= 1)
-    def _():
-        put_dma((total - 1) % 2, 0).wait()
+    for d in range(NB):  # drain the last NB in-flight puts
+        @pl.when(total >= d + 1)
+        def _(d=d):
+            put_dma((total - 1 - d) % NB, 0).wait()
 
 
 # ------------------------------------------------------------ XLA wrapper
@@ -471,13 +510,12 @@ def _gauss_feat(pg: ProjectedGaussians) -> jnp.ndarray:
                          feat.dtype)], axis=0)      # (N_FEAT, N)
 
 
-def _pack_aligned(feat, gauss_id, newpos, gid_presort, i_pad):
+def _pack_aligned(feat, gauss_id, i_pad):
     """feat (N_FEAT, N) -> aligned instance array (N_FEAT, i_pad).
 
     Plain gather; its AD transpose (scatter-add over gauss ids) measured
     FASTER on TPU than a hand-written inverse-permute + sorted
-    segment-sum backward, so default AD it is. newpos/gid_presort kept
-    in the signature for future backward experiments."""
+    segment-sum backward, so default AD it is."""
     inst = feat[:, gauss_id]
     return jnp.pad(inst, ((0, 0), (0, i_pad - inst.shape[1])))
 
@@ -577,10 +615,13 @@ def _blend_core_bwd(nx, ny, tile, width, height, res, g_outs):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),   # ginst in HBM
         scratch_shapes=[
-            pltpu.VMEM((2, N_FEAT, CHUNK), jnp.float32),
-            pltpu.VMEM((2, N_FEAT, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, N_FEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((4, N_FEAT, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((8, P), jnp.float32),          # g_scr
+            pltpu.VMEM((P, 1), jnp.float32),          # ltf_scr
+            pltpu.VMEM((P, 1), jnp.float32),          # sufs0_scr
         ],
     )
     ginst = pl.pallas_call(
@@ -632,8 +673,7 @@ def blend_tiles_pallas(pg: ProjectedGaussians, bins: TileBins, width: int,
     # themselves are CHUNK-aligned already: tiles.ALIGN == CHUNK)
     I = bins.gauss_id.shape[0]
     I_pad = (-(-I // CHUNK)) * CHUNK
-    inst = _pack_aligned(_gauss_feat(pg), bins.gauss_id, bins.newpos,
-                         bins.gid_presort, I_pad)
+    inst = _pack_aligned(_gauss_feat(pg), bins.gauss_id, I_pad)
     counts = (bins.ends - bins.starts).astype(jnp.int32)
     total = bins.aligned_total.astype(jnp.int32)
 

@@ -132,7 +132,18 @@ def project_gaussians(
 
     mid = 0.5 * (a + c)
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+    # opacity-aware extent: the blend drops alpha < MIN_ALPHA (1/255),
+    # so the bounding radius only needs to cover alpha >= MIN_ALPHA:
+    # alpha >= 1/255  ⇔  0.5 d'Σ⁻¹d <= ln(255 op)  ⇒  d² <= 2 λ1
+    # ln(255 op) (λ1 = max eigenvalue). Capped at the CUDA 3σ bound
+    # (reference cuda_rasterizer/forward.cu computeCov2D): images are
+    # identical — every pixel the tighter circle cuts already failed the
+    # alpha test — but low-opacity Gaussians produce strictly fewer tile
+    # instances (op <= 1/255 culls outright: it can never pass the
+    # alpha test anywhere).
+    lim = 2.0 * jnp.log(jnp.maximum(opacity, 1e-12) * 255.0)
+    k3 = jnp.sqrt(jnp.clip(lim, 0.0, 9.0))
+    radius = jnp.ceil(k3 * jnp.sqrt(lam1))
 
     # --- color from SH ---
     if shs.ndim == 2:

@@ -51,10 +51,6 @@ class TileBins(NamedTuple):
     # the first count_t = ends[t]-starts[t] are valid, the rest padding
     # (gauss_id 0, masked by count everywhere).
     gauss_id: jnp.ndarray   # (I_align,) int32 index into Gaussian arrays
-    gid_presort: jnp.ndarray  # (I,) int32 gaussian ids in expansion order
-    #                           (non-decreasing: contiguous per-gaussian runs)
-    newpos: jnp.ndarray     # (I,) int32 map expansion slot -> aligned slot
-    #                           (== I_align for dropped/invalid slots)
     starts: jnp.ndarray     # (T,) int32 ALIGN-multiple segment start
     ends: jnp.ndarray       # (T,) int32 starts + valid count
     n_instances: jnp.ndarray  # () int32 total valid instances (may exceed
@@ -150,13 +146,12 @@ def bin_gaussians(pg: ProjectedGaussians, width: int, height: int,
     # ~2x faster than a 2-key 3-operand sort.
     if single_key:
         key = tile_ids * jnp.int32(n) + depth_rank_i
-        key_sorted, gid_sorted, presort_perm = jax.lax.sort(
-            (key, gid, slot), num_keys=1)
+        key_sorted, gid_sorted = jax.lax.sort((key, gid), num_keys=1)
         tile_sorted = key_sorted // jnp.int32(n)
     else:
         depth = sortable_bits_to_f32(cols[4])
-        tile_sorted, _, gid_sorted, presort_perm = jax.lax.sort(
-            (tile_ids, depth, gid, slot), num_keys=2)
+        tile_sorted, _, gid_sorted = jax.lax.sort(
+            (tile_ids, depth, gid), num_keys=2)
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     raw_starts = jnp.searchsorted(tile_sorted, tids,
@@ -181,22 +176,7 @@ def bin_gaussians(pg: ProjectedGaussians, width: int, height: int,
     gauss_al = jnp.zeros(i_align, jnp.int32).at[newpos].set(
         gid_sorted, mode="drop")
 
-    # expansion-order -> aligned-slot map (for the pack custom VJP):
-    # the sort permutation is recovered by scattering each sorted slot's
-    # aligned position to its pre-sort slot... instead we compose at use
-    # site: aligned_of_presort[j] = newpos[rank_of_presort_j_in_sort].
-    # Cheaper: scatter newpos back through the sort by sorting (key, pos)
-    # is already done — reuse: scatter aligned pos via gid_sorted's
-    # origin. We instead sort (key, presort_slot) above; here presort
-    # slot i maps to sorted slot r(i); build by scattering.
-    sorted_slot_of_presort = jnp.zeros(budget, jnp.int32).at[
-        jnp.where(valid, presort_perm, budget)].set(
-        jnp.arange(budget, dtype=jnp.int32), mode="drop")
-    newpos_presort = jnp.where(
-        valid, newpos[sorted_slot_of_presort], i_align)
-
-    return TileBins(gauss_id=gauss_al, gid_presort=gid,
-                    newpos=newpos_presort, starts=astarts,
+    return TileBins(gauss_id=gauss_al, starts=astarts,
                     ends=astarts + counts, n_instances=total,
                     aligned_total=astarts[-1] + seg[-1],
                     overflowed=total > budget)

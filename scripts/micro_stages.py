@@ -1,11 +1,14 @@
-"""Stage-level timing of the bench render step on the attached device.
+"""Dispatch-corrected stage timing at the EXACT bench.py config
+(50k gauss, 960x540, tile=32, budget=131072) + a tile=16 A/B.
 
-Decomposes bench.py's fwd+bwd step into pipeline stages, each jitted and
-timed separately (block_until_ready), so we know where the milliseconds
-go before optimizing. Writes evidence/profile_stages.json.
+profile_render.py's standalone numbers are inflated by the per-call
+relay dispatch overhead (several ms through the axon tunnel); this
+script measures a null jitted op with the same harness and reports both
+raw and corrected times. Writes evidence/micro_stages.json.
 
-Run with the DEFAULT env (TPU through the axon tunnel):
-    nohup timeout 1700 python scripts/profile_render.py > /tmp/prof.log 2>&1 &
+Run (default TPU env):
+    PYTHONPATH=/root/repo nohup timeout 1700 python scripts/micro_stages.py \
+        > /tmp/micro.log 2>&1 &
 """
 import json
 import os
@@ -20,7 +23,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 W, H = 960, 540
 N = 50_000
-BUDGET = 1 << 18
+BUDGET = 131072
 TILE = 32
 
 
@@ -35,7 +38,7 @@ def build_scene(n, seed=0):
     return means, log_scales, rotq, opacity_logit, shs
 
 
-def timed(fn, *args, iters=10, warmup=3):
+def timed(fn, *args, iters=20, warmup=3):
     t0 = time.time()
     out = fn(*args)
     jax.block_until_ready(out)
@@ -51,10 +54,9 @@ def timed(fn, *args, iters=10, warmup=3):
 
 
 def main():
-    from hugs_tpu.render import make_camera
+    from hugs_tpu.render import make_camera, render
     from hugs_tpu.render.project import project_gaussians
     from hugs_tpu.render.tiles import bin_gaussians
-    from hugs_tpu.render import render
     from hugs_tpu.render.pallas_blend import (
         _gauss_feat, _pack_aligned, _blend_pallas_core, CHUNK)
 
@@ -64,82 +66,73 @@ def main():
     bg = jnp.zeros(3)
     results = {}
 
+    def rec(name, ms, cs):
+        results[name] = ms
+        print(f"{name}: {ms:.3f} ms (compile {cs:.1f}s)", flush=True)
+
+    # 0. null dispatch baseline
+    xsmall = jnp.ones((8, 128))
+    rec("null_dispatch", *timed(jax.jit(lambda x: x + 1.0), xsmall))
+
     def act(params):
         m, ls, q, ol, c = params
-        return (m, jnp.exp(ls), q / jnp.linalg.norm(q, axis=-1, keepdims=True),
+        return (m, jnp.exp(ls), q / jnp.linalg.norm(q, axis=-1,
+                                                    keepdims=True),
                 jax.nn.sigmoid(ol), c)
 
-    # --- A: projection fwd ---
     @jax.jit
     def proj_fwd(params):
         m, s, q, o, c = act(params)
         return project_gaussians(m, s, q, o, c, cam, W, H, 3)
-    ms, cs = timed(proj_fwd, params)
-    results["A_project_fwd"] = ms
-    print("A project fwd", ms, "ms (compile", cs, "s)", flush=True)
+    rec("proj_fwd", *timed(proj_fwd, params))
 
-    # --- B: projection fwd+bwd (scalar pseudo-loss over all outputs) ---
     @jax.jit
     def proj_grad(params):
         def f(p):
             m, s, q, o, c = act(p)
             pg = project_gaussians(m, s, q, o, c, cam, W, H, 3)
-            return (jnp.sum(pg.mean2d) + jnp.sum(pg.conic) + jnp.sum(pg.rgb)
-                    + jnp.sum(pg.opacity) + jnp.sum(pg.depth))
+            return (jnp.sum(pg.mean2d) + jnp.sum(pg.conic)
+                    + jnp.sum(pg.rgb) + jnp.sum(pg.opacity)
+                    + jnp.sum(pg.depth))
         return jax.grad(f)(params)
-    ms, cs = timed(proj_grad, params)
-    results["B_project_fwd_bwd"] = ms
-    print("B project fwd+bwd", ms, "ms (compile", cs, "s)", flush=True)
+    rec("proj_fwd_bwd", *timed(proj_grad, params))
 
     pg = proj_fwd(params)
-    pg = jax.tree.map(lambda x: x, pg)
 
-    # --- C: binning ---
     @jax.jit
     def binning(pg):
         return bin_gaussians(pg, W, H, BUDGET, TILE)
-    ms, cs = timed(binning, pg)
-    results["C_binning"] = ms
-    print("C binning", ms, "ms (compile", cs, "s)", flush=True)
-
+    rec("binning", *timed(binning, pg))
     bins = binning(pg)
+    print("n_instances:", int(bins.n_instances),
+          "aligned_total:", int(bins.aligned_total), flush=True)
 
-    # --- D: instance pack fwd ---
     I = bins.gauss_id.shape[0]
     I_pad = (-(-I // CHUNK)) * CHUNK
 
     @jax.jit
     def pack_fwd(pg, bins):
         return _pack_aligned(_gauss_feat(pg), bins.gauss_id, I_pad)
-    ms, cs = timed(pack_fwd, pg, bins)
-    results["D_pack_fwd"] = ms
-    print("D pack fwd", ms, "ms (compile", cs, "s)", flush=True)
+    rec("pack_fwd", *timed(pack_fwd, pg, bins))
 
-    # --- E: pack fwd+bwd ---
     @jax.jit
     def pack_grad(pg, bins):
         def f(pg):
             return jnp.sum(pack_fwd.__wrapped__(pg, bins))
         return jax.grad(f, allow_int=True)(pg)
-    ms, cs = timed(pack_grad, pg, bins)
-    results["E_pack_fwd_bwd"] = ms
-    print("E pack fwd+bwd", ms, "ms (compile", cs, "s)", flush=True)
+    rec("pack_fwd_bwd", *timed(pack_grad, pg, bins))
 
     inst = pack_fwd(pg, bins)
     counts = (bins.ends - bins.starts).astype(jnp.int32)
     total = bins.aligned_total.astype(jnp.int32)
     nx, ny = -(-W // TILE), -(-H // TILE)
 
-    # --- F: pallas blend fwd ---
     @jax.jit
     def blend_fwd(inst, starts, counts, total):
         return _blend_pallas_core(inst, starts, counts, total, bg, nx, ny,
                                   TILE, W, H)[0]
-    ms, cs = timed(blend_fwd, inst, bins.starts, counts, total)
-    results["F_blend_fwd"] = ms
-    print("F blend fwd", ms, "ms (compile", cs, "s)", flush=True)
+    rec("blend_fwd", *timed(blend_fwd, inst, bins.starts, counts, total))
 
-    # --- G: pallas blend fwd+bwd ---
     @jax.jit
     def blend_grad(inst, starts, counts, total):
         def f(inst):
@@ -147,35 +140,29 @@ def main():
                                         bg, nx, ny, TILE, W, H)
             return jnp.sum(out[:, :3, :])
         return jax.grad(f)(inst)
-    ms, cs = timed(blend_grad, inst, bins.starts, counts, total)
-    results["G_blend_fwd_bwd"] = ms
-    print("G blend fwd+bwd", ms, "ms (compile", cs, "s)", flush=True)
+    rec("blend_fwd_bwd", *timed(blend_grad, inst, bins.starts, counts,
+                                total))
 
-    # --- H: full render fwd ---
-    @jax.jit
-    def full_fwd(params):
-        m, s, q, o, c = act(params)
-        return render(m, s, q, o, c, camera=cam, width=W, height=H, bg=bg,
-                      active_sh_degree=3, backend="pallas",
-                      instance_budget=BUDGET, tile=TILE)["render"]
-    ms, cs = timed(full_fwd, params)
-    results["H_full_fwd"] = ms
-    print("H full fwd", ms, "ms (compile", cs, "s)", flush=True)
-
-    # --- I: full fwd+bwd (bench loss) ---
-    @jax.jit
-    def full_grad(params):
-        def loss_fn(p):
-            img = full_fwd.__wrapped__(p)
+    def make_full(tile, budget):
+        def loss_fn(params):
+            m, s, q, o, c = act(params)
+            img = render(m, s, q, o, c, camera=cam, width=W, height=H,
+                         bg=bg, active_sh_degree=3, backend="pallas",
+                         tile_cap=1024, instance_budget=budget,
+                         tile=tile)["render"]
             return jnp.mean(jnp.abs(img - target))
-        return jax.grad(loss_fn)(params)
-    ms, cs = timed(full_grad, params)
-    results["I_full_fwd_bwd"] = ms
-    print("I full fwd+bwd", ms, "ms (compile", cs, "s)", flush=True)
+        return loss_fn
+
+    rec("full_fwd_t32", *timed(jax.jit(
+        lambda p: make_full(32, BUDGET)(p)), params))
+    rec("full_fwd_bwd_t32", *timed(jax.jit(
+        jax.grad(make_full(32, BUDGET))), params))
+    rec("full_fwd_bwd_t16", *timed(jax.jit(
+        jax.grad(make_full(16, 262144))), params))
 
     results["device"] = jax.devices()[0].platform
     out = os.path.join(os.path.dirname(__file__), "..", "evidence",
-                       "profile_stages.json")
+                       "micro_stages.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))

@@ -44,19 +44,27 @@ def _rot_y(angle: float) -> np.ndarray:
 def get_rotating_camera(img_size=512, fov: float = 0.4, dist: float = 5.0,
                         nframes: int = 40,
                         angle_limit: float = 2 * np.pi) -> list[dict]:
-    """Orbit around the origin (reference datasets/utils.py:64-124):
-    camera circles at `dist`, always looking at the center, with the
-    y-down flip the reference applies (R[:, 1:3] *= -1)."""
+    """Orbit around the origin: camera circles at `dist`, always looking
+    at the center, with the y-down flip the reference applies
+    (R[:, 1:3] *= -1).
+
+    Deviation from reference datasets/utils.py:64-124 (by design): the
+    reference composes rot(-azim) for the position with rot(azim) for
+    the orientation, which makes the origin's camera depth d*cos(2
+    azim) — the subject drifts out of the frustum and sits BEHIND the
+    camera for half of every orbit. Here orientation and position use
+    the SAME rotation, a true look-at: the origin projects to the image
+    center at depth `dist` for every azimuth
+    (tests/test_data.py::test_rotating_camera_look_at)."""
     if isinstance(img_size, int):
         img_size = (img_size, img_size)
+    flip = np.diag([1.0, -1.0, -1.0]).astype(np.float32)  # y-down look-at
     out = []
     for azim in np.linspace(0.0, angle_limit, nframes):
-        pos = _rot_y(-azim) @ np.array([0.0, 0.0, dist], np.float32)
-        R = _rot_y(azim).copy()
-        R[:, 1:3] *= -1
+        rot = _rot_y(azim)
         c2w = np.eye(4, dtype=np.float32)
-        c2w[:3, :3] = R.T
-        c2w[:3, 3] = pos
+        c2w[:3, :3] = rot @ flip
+        c2w[:3, 3] = rot @ np.array([0.0, 0.0, dist], np.float32)
         w2c = np.linalg.inv(c2w).T     # row-vector convention
         cam = _camera_from_w2c(jnp.asarray(w2c), fov, fov)
         out.append({"camera": cam, "width": img_size[1],

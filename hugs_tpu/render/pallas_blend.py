@@ -498,26 +498,27 @@ def _gauss_feat(pg: ProjectedGaussians) -> jnp.ndarray:
     is ONE column gather (separate per-field scalar gathers lower to
     element-granularity gathers that are ~100x slower on TPU)."""
     opac = jnp.where(pg.mask, pg.opacity, 0.0)
-    feat = jnp.stack([
+    return jnp.stack([
         pg.rgb[:, 0], pg.rgb[:, 1], pg.rgb[:, 2],
         opac,
         pg.mean2d[:, 0], pg.mean2d[:, 1],
         pg.conic[:, 0], pg.conic[:, 1], pg.conic[:, 2],
         pg.radius,
-    ], axis=0)                                      # (10, N)
-    return jnp.concatenate(
-        [feat, jnp.zeros((N_FEAT - feat.shape[0], feat.shape[1]),
-                         feat.dtype)], axis=0)      # (N_FEAT, N)
+    ], axis=0)                                      # (N_USED, N)
 
 
 def _pack_aligned(feat, gauss_id, i_pad):
-    """feat (N_FEAT, N) -> aligned instance array (N_FEAT, i_pad).
+    """feat (N_USED=10, N) -> aligned instance array (N_FEAT, i_pad).
 
     Plain gather; its AD transpose (scatter-add over gauss ids) measured
     FASTER on TPU than a hand-written inverse-permute + sorted
-    segment-sum backward, so default AD it is."""
-    inst = feat[:, gauss_id]
-    return jnp.pad(inst, ((0, 0), (0, i_pad - inst.shape[1])))
+    segment-sum backward, so default AD it is. Only the 10 real feature
+    rows are gathered — the row pad to N_FEAT happens AFTER, so both the
+    gather and its transposed scatter move 10/16 of the bytes (the pad's
+    transpose is a free row slice)."""
+    inst = feat[:, gauss_id]                        # (N_USED, I)
+    return jnp.pad(inst, ((0, N_FEAT - feat.shape[0]),
+                          (0, i_pad - inst.shape[1])))
 
 
 def _interpret_default():

@@ -49,10 +49,10 @@ def gt_surface_scene(seed=0):
     col_s = np.stack([0.5 + 0.45 * np.sin(8 * theta),
                       0.5 + 0.45 * np.cos(6 * phi),
                       0.35 + 0.3 * np.sin(3 * phi + 2 * theta)], axis=1)
-    # floor: grid on y = -1.05, extent [-2.5, 2.5] x [-2.5, 2.5]
-    n_f = 90
-    gx, gz = np.meshgrid(np.linspace(-2.5, 2.5, n_f),
-                         np.linspace(-2.5, 2.5, n_f))
+    # floor: grid on y = -1.05, extent [-2.2, 2.2] x [-2.2, 2.2]
+    n_f = 100
+    gx, gz = np.meshgrid(np.linspace(-2.2, 2.2, n_f),
+                         np.linspace(-2.2, 2.2, n_f))
     xyz_f = np.stack([gx.ravel(), np.full(n_f * n_f, -1.05),
                       gz.ravel()], axis=1)
     checker = ((np.floor(gx.ravel() * 2) + np.floor(gz.ravel() * 2))
@@ -96,7 +96,7 @@ def main():
     from hugs_tpu.utils.image import save_png
 
     gt = gt_surface_scene()
-    cams = get_rotating_camera(img_size=(H, W), fov=0.75, dist=4.2,
+    cams = get_rotating_camera(img_size=(H, W), fov=0.95, dist=3.0,
                                nframes=45, angle_limit=2 * np.pi)[:-1]
     bg = jnp.zeros(3)
 

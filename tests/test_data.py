@@ -169,3 +169,27 @@ def test_native_parser_matches_python(neuman_root):
     quat, trans, cam_ids, names = nimg
     assert len(names) == 12
     assert names[0].endswith(".png")
+
+
+def test_rotating_camera_look_at():
+    """Every azimuth of the orbit keeps the origin centered at depth
+    `dist` (regression: the reference's own helper composes rot(-azim)
+    position with rot(azim) orientation, putting the subject BEHIND the
+    camera for half the orbit — see cameras.py docstring)."""
+    import jax.numpy as jnp
+    from hugs_tpu.data.cameras import get_rotating_camera
+    from hugs_tpu.render.project import project_gaussians
+
+    pts = jnp.zeros((1, 3))
+    sc = jnp.full((1, 3), 0.02)
+    q = jnp.array([[1.0, 0, 0, 0]])
+    op = jnp.array([0.9])
+    sh = jnp.zeros((1, 3))
+    cams = get_rotating_camera(img_size=(68, 120), fov=0.75, dist=4.2,
+                               nframes=9)
+    for c in cams:
+        pg = project_gaussians(pts, sc, q, op, sh, c["camera"], 120, 68, 0)
+        assert bool(pg.mask[0])
+        np.testing.assert_allclose(float(pg.depth[0]), 4.2, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pg.mean2d[0]),
+                                   [59.5, 33.5], atol=1e-3)

@@ -133,8 +133,8 @@ def test_pallas_saturated_early_termination():
     pg = project_gaussians(means, scales, rotq, opacity, shs, cam, W, H, 2)
     bins = bin_gaussians(pg, W, H, 16384, 32)
     I = bins.gauss_id.shape[0]
-    inst = _pack_aligned(_gauss_feat(pg), bins.gauss_id, bins.newpos,
-                         bins.gid_presort, (-(-I // CHUNK)) * CHUNK)
+    inst = _pack_aligned(_gauss_feat(pg), bins.gauss_id,
+                         (-(-I // CHUNK)) * CHUNK)
     counts = (bins.ends - bins.starts).astype(jnp.int32)
     _, nchunks = _blend_pallas_core(
         inst, bins.starts, counts, bins.aligned_total.astype(jnp.int32),

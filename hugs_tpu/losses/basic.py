@@ -52,11 +52,16 @@ def _depthwise_blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     c = img.shape[0]
     k = window.shape[0]
     kernel = jnp.tile(window[None, None], (c, 1, 1, 1))  # (C,1,k,k)
+    # HIGHEST is load-bearing: TPU convs default to bf16, and SSIM's
+    # variance terms are cancellations (blur(x^2) - mu^2 ~ 1e-3) that
+    # bf16 error swamps relative to C2=9e-4 — observed as SSIM "1.08"
+    # and garbage SSIM gradients on hardware (CPU f32 hides it).
     out = jax.lax.conv_general_dilated(
         img[None], kernel, window_strides=(1, 1),
         padding=[(k // 2, k // 2)] * 2,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c)
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     return out[0]
 
 

@@ -29,6 +29,11 @@ from flax import struct
 
 from hugs_tpu.ops.rotations import axis_angle_to_matrix
 
+# TPU matmuls default to bf16; skinning/joint transforms feed world
+# positions where 2^-8 relative error is millimetres -> pixels. These
+# contractions are tiny, so HIGHEST costs nothing.
+_HI = jax.lax.Precision.HIGHEST
+
 NUM_JOINTS = 24          # incl. root
 NUM_BODY_JOINTS = 23
 NUM_POSE_FEATURES = 207  # 23 * 9
@@ -257,13 +262,16 @@ def batch_rigid_transform(rot_mats: jnp.ndarray, joints: jnp.ndarray,
 
     chains = [make_tf(rot_mats[0], rel_joints[0])]
     for j in range(1, J):
-        chains.append(chains[parents[j]] @ make_tf(rot_mats[j], rel_joints[j]))
+        chains.append(jnp.matmul(chains[parents[j]],
+                                 make_tf(rot_mats[j], rel_joints[j]),
+                                 precision=_HI))
     transforms = jnp.stack(chains)                            # (J, 4, 4)
 
     posed_joints = transforms[:, :3, 3]
     # subtract rest-joint contribution: A = G - pack(G @ [j, 0])
     joints_hom = jnp.concatenate([joints, jnp.zeros((J, 1))], axis=1)
-    correction = jnp.einsum("jab,jb->ja", transforms, joints_hom)  # (J, 4)
+    correction = jnp.einsum("jab,jb->ja", transforms, joints_hom,
+                            precision=_HI)  # (J, 4)
     A = transforms.at[:, :, 3].add(-correction)
     return posed_joints, A
 
@@ -279,9 +287,10 @@ def smpl_forward(model: SMPLModel, betas: jnp.ndarray, body_pose: jnp.ndarray,
     """
     full_pose = jnp.concatenate([global_orient.reshape(3),
                                  body_pose.reshape(NUM_BODY_JOINTS * 3)])
-    shape_offsets = jnp.einsum("vcb,b->vc", model.shapedirs, betas)
+    shape_offsets = jnp.einsum("vcb,b->vc", model.shapedirs, betas,
+                               precision=_HI)
     v_shaped = model.v_template + shape_offsets
-    joints = model.J_regressor @ v_shaped                  # (J, 3)
+    joints = jnp.matmul(model.J_regressor, v_shaped, precision=_HI)  # (J, 3)
 
     rot_mats = axis_angle_to_matrix(full_pose.reshape(NUM_JOINTS, 3))
     ident = jnp.eye(3)
@@ -289,16 +298,18 @@ def smpl_forward(model: SMPLModel, betas: jnp.ndarray, body_pose: jnp.ndarray,
     if disable_posedirs or model.posedirs.shape[0] == 0:
         pose_offsets = jnp.zeros_like(v_shaped)
     else:
-        pose_offsets = (pose_feature @ model.posedirs).reshape(-1, 3)
+        pose_offsets = jnp.matmul(pose_feature, model.posedirs,
+                                  precision=_HI).reshape(-1, 3)
     v_posed = v_shaped + pose_offsets
     if vert_offsets is not None:
         v_posed = v_posed + vert_offsets
 
     posed_joints, A = batch_rigid_transform(rot_mats, joints, model.parents)
 
-    T = jnp.einsum("vj,jab->vab", model.lbs_weights, A)    # (V, 4, 4)
+    T = jnp.einsum("vj,jab->vab", model.lbs_weights, A,
+                   precision=_HI)    # (V, 4, 4)
     v_hom = jnp.concatenate([v_posed, jnp.ones_like(v_posed[:, :1])], -1)
-    verts = jnp.einsum("vab,vb->va", T, v_hom)[:, :3]
+    verts = jnp.einsum("vab,vb->va", T, v_hom, precision=_HI)[:, :3]
     if transl is not None:
         verts = verts + transl[None]
         posed_joints = posed_joints + transl[None]
@@ -323,12 +334,13 @@ def lbs_extra(A: jnp.ndarray, points: jnp.ndarray, posedirs: jnp.ndarray | None,
     else:
         rot_mats = axis_angle_to_matrix(full_pose.reshape(NUM_JOINTS, 3))
         pose_feature = (rot_mats[1:] - jnp.eye(3)).reshape(-1)
-        pose_offsets = (pose_feature @ posedirs).reshape(-1, 3)
+        pose_offsets = jnp.matmul(pose_feature, posedirs,
+                                  precision=_HI).reshape(-1, 3)
         v_posed = points + pose_offsets
 
-    T = jnp.einsum("nj,jab->nab", lbs_weights, A)
+    T = jnp.einsum("nj,jab->nab", lbs_weights, A, precision=_HI)
     v_hom = jnp.concatenate([v_posed, jnp.ones_like(v_posed[:, :1])], -1)
-    deformed = jnp.einsum("nab,nb->na", T, v_hom)[:, :3]
+    deformed = jnp.einsum("nab,nb->na", T, v_hom, precision=_HI)[:, :3]
     return deformed, T, v_posed
 
 

@@ -5,6 +5,7 @@ covariance is R S S^T R^T with R from a unit quaternion and S = diag(scales).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from hugs_tpu.ops.rotations import quat_to_matrix, quat_normalize
@@ -33,4 +34,5 @@ def covariance_from_scaling_rotation(scales: jnp.ndarray, q: jnp.ndarray,
                                      scaling_modifier: float = 1.0) -> jnp.ndarray:
     """Full 3x3 covariance matrices (N, 3, 3)."""
     L = build_scaling_rotation(scaling_modifier * scales, q)
-    return L @ jnp.swapaxes(L, -1, -2)
+    return jnp.matmul(L, jnp.swapaxes(L, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)

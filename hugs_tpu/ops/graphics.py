@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 
@@ -86,5 +87,6 @@ def camera_center(world_view: jnp.ndarray) -> jnp.ndarray:
 def transform_points(points: jnp.ndarray, mat4: jnp.ndarray) -> jnp.ndarray:
     """Apply a row-vector 4x4 to (N, 3) points, perspective divide."""
     ones = jnp.ones_like(points[..., :1])
-    hom = jnp.concatenate([points, ones], axis=-1) @ mat4
+    hom = jnp.matmul(jnp.concatenate([points, ones], axis=-1), mat4,
+                     precision=jax.lax.Precision.HIGHEST)
     return hom[..., :3] / (hom[..., 3:4] + 1e-7)

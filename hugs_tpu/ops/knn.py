@@ -21,7 +21,12 @@ def _pairwise_sq_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(M, 3) x (N, 3) -> (M, N) squared distances via matmul."""
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)
-    d = a2 + b2.T - 2.0 * (a @ b.T)
+    # HIGHEST is load-bearing: |a|^2 + |b|^2 - 2ab is a catastrophic
+    # cancellation for NEAR pairs (the ones knn returns); the TPU's
+    # default bf16 matmul error (~|a||b| 2^-8) swamps true distances,
+    # which corrupts create_from_pcd's init scales on hardware.
+    d = a2 + b2.T - 2.0 * jnp.matmul(a, b.T,
+                                     precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(d, 0.0)
 
 
@@ -34,6 +39,14 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     (chunk, N) distance-block memory.
     """
     m = query.shape[0]
+    # center the cloud first: distances are translation-invariant, and
+    # the expanded form loses all precision when |p|^2 >> nn-dist^2
+    # (f32 eps of |p|^2 bounds the resolvable distance; an off-origin
+    # cluster at |p|=5 with 2e-3 spacing is otherwise pure noise even
+    # at HIGHEST). Centering shrinks |p| to the cloud extent.
+    mu = jnp.mean(ref, axis=0, keepdims=True)
+    query = query - mu
+    ref = ref - mu
     pad = (-m) % chunk
     q = jnp.pad(query, ((0, pad), (0, 0)))
     q = q.reshape(-1, chunk, 3)

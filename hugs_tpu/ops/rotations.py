@@ -9,6 +9,8 @@ XLA (no data-dependent branching).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -193,7 +195,8 @@ def rotation_matrix_from_vectors(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     ).reshape(a.shape[:-1] + (3, 3))
     eye = jnp.broadcast_to(jnp.eye(3), K.shape)
     denom = jnp.clip(1.0 + c, _EPS)[..., None, None]
-    R = eye + K + (K @ K) / denom
+    R = eye + K + jnp.matmul(K, K,
+                             precision=jax.lax.Precision.HIGHEST) / denom
     # antiparallel (c ~ -1): rotate 180 deg about any axis orthogonal to a
     ortho = jnp.cross(a, jnp.where(jnp.abs(a[..., :1]) < 0.9,
                                    jnp.array([1.0, 0.0, 0.0]),
@@ -221,7 +224,8 @@ def euler_to_matrix(euler: jnp.ndarray, convention: str = "XYZ") -> jnp.ndarray:
         return jnp.stack(rows, axis=-1).reshape(a.shape + (3, 3))
 
     mats = [axis_rot(ax, euler[..., i]) for i, ax in enumerate(convention)]
-    return mats[0] @ mats[1] @ mats[2]
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    return mm(mm(mats[0], mats[1]), mats[2])
 
 
 def matrix_to_euler(m: jnp.ndarray, convention: str = "XYZ") -> jnp.ndarray:

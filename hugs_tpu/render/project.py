@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from hugs_tpu.ops.sh import eval_sh_masked
@@ -56,12 +57,17 @@ def project_gaussians(
     n = means3d.shape[0]
 
     # --- camera-space position and depth ---
+    # HIGHEST: TPU matmuls default to bf16; positions feed pixel coords,
+    # where 2^-8 relative error is whole pixels. K=3/4 so HIGHEST is free.
+    hp = jnp.matmul
+    HI = jax.lax.Precision.HIGHEST
     wv = camera.world_view
-    t = means3d @ wv[:3, :3] + wv[3, :3]
+    t = hp(means3d, wv[:3, :3], precision=HI) + wv[3, :3]
     depth = t[..., 2]
 
     # --- pixel-space mean ---
-    hom = jnp.concatenate([means3d, jnp.ones((n, 1), means3d.dtype)], -1) @ camera.full_proj
+    hom = hp(jnp.concatenate([means3d, jnp.ones((n, 1), means3d.dtype)],
+                             -1), camera.full_proj, precision=HI)
     p_w = 1.0 / (hom[..., 3] + 1e-7)
     ndc = hom[..., :3] * p_w[..., None]
     mean2d = jnp.stack(

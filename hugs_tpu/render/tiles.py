@@ -64,39 +64,145 @@ def tile_grid(width: int, height: int, tile: int = TILE) -> tuple[int, int]:
 
 
 def tile_spans(pg: ProjectedGaussians, width: int, height: int,
-               tile: int = TILE):
-    """Per-Gaussian covered tile rectangle [tx0, tx1) x [ty0, ty1)."""
+               tile: int = TILE, tight: bool = True):
+    """Per-Gaussian covered tile rectangle [tx0, tx1) x [ty0, ty1).
+
+    tight=True (default) uses per-axis ellipse extents instead of the
+    CUDA rasterizer's bounding square of the 3-sigma disk: the blend
+    keeps a pixel only while alpha = op*exp(-q) >= 1/255 (oracle.
+    gaussian_alpha), and the level set {q <= L}, L = log(op*255), has
+    |dx| <= sqrt(2 L cov_xx) with cov = conic^-1 (and symmetrically in
+    y). Every pixel outside the min(ellipse-extent, radius) box is
+    provably zeroed by the blend's own cutoffs, so shrinking the span
+    leaves image and gradients unchanged while cutting the instance
+    count (and therefore sort/pack/blend work and the required budget)
+    — typically 2-4x for anisotropic splats. Gaussians with op < 1/255
+    are invisible outright (max alpha < cutoff) and get a zero span.
+    """
     nx, ny = tile_grid(width, height, tile)
     r = pg.radius
+    mask = pg.mask
+    if tight:
+        ca, cb, cc = pg.conic[:, 0], pg.conic[:, 1], pg.conic[:, 2]
+        det = ca * cc - cb * cb
+        pd = (ca > 0.0) & (cc > 0.0) & (det > 0.0)
+        safe_det = jnp.where(pd, det, 1.0)
+        L = jnp.log(jnp.maximum(pg.opacity, 1e-12) * 255.0)
+        # 1.0001 + 1e-3: fp-safety margin; the pixel grid is integer and
+        # tiles are 16-32 px, so a ~0.001 px slack never adds a tile but
+        # guards the sqrt/log rounding against culling a live pixel.
+        ext = lambda cov_ii: jnp.sqrt(jnp.maximum(2.0 * L, 0.0)
+                                      * cov_ii) * 1.0001 + 1e-3
+        rx = jnp.minimum(jnp.where(pd, ext(cc / safe_det), r), r)
+        ry = jnp.minimum(jnp.where(pd, ext(ca / safe_det), r), r)
+        mask = mask & (pg.opacity >= MIN_ALPHA)
+    else:
+        rx = ry = r
     # floor (not int32 trunc-toward-zero): band-sharded rendering feeds
     # NEGATIVE band-local coordinates through here, and trunc would make
     # a Gaussian ending within `tile` px above the band spuriously cover
     # its first row — harmless alpha-wise (radius-cutoff zeroes it) but
     # it perturbs tile_cap truncation vs the full-grid binning.
-    tx0 = jnp.clip(jnp.floor((pg.mean2d[:, 0] - r) / tile).astype(jnp.int32),
+    tx0 = jnp.clip(jnp.floor((pg.mean2d[:, 0] - rx) / tile).astype(jnp.int32),
                    0, nx)
-    ty0 = jnp.clip(jnp.floor((pg.mean2d[:, 1] - r) / tile).astype(jnp.int32),
+    ty0 = jnp.clip(jnp.floor((pg.mean2d[:, 1] - ry) / tile).astype(jnp.int32),
                    0, ny)
-    tx1 = jnp.clip(jnp.floor((pg.mean2d[:, 0] + r) / tile).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((pg.mean2d[:, 0] + rx) / tile).astype(jnp.int32)
                    + 1, 0, nx)
-    ty1 = jnp.clip(jnp.floor((pg.mean2d[:, 1] + r) / tile).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((pg.mean2d[:, 1] + ry) / tile).astype(jnp.int32)
                    + 1, 0, ny)
-    w = jnp.where(pg.mask, tx1 - tx0, 0)
-    h = jnp.where(pg.mask, ty1 - ty0, 0)
+    w = jnp.where(mask, tx1 - tx0, 0)
+    h = jnp.where(mask, ty1 - ty0, 0)
     return tx0, ty0, w, h, nx, ny
 
 
+MIN_ALPHA = 1.0 / 255.0   # == oracle.MIN_ALPHA (import cycle avoided)
+
+
+def _tight_cull_keep(cols, tx, ty, tile):
+    """Per-INSTANCE tight culling: drop (Gaussian, tile) pairs whose
+    contribution is provably zero at every pixel center of the tile.
+
+    The CUDA rasterizer bins by the axis-aligned bounding square of the
+    3-sigma radius (gs_renderer call-site spec); for anisotropic splats
+    and corner tiles most of those instances never pass the blend's keep
+    test (alpha >= 1/255 and dist <= radius, oracle.gaussian_alpha). Two
+    conservative tests, both exact (an instance is culled only if its
+    alpha is zero at EVERY pixel center, so image and gradients are
+    mathematically unchanged; the pallas backend shifts by its own
+    ~1e-5 split-matmul noise floor as chunk boundaries move):
+
+      disk    closest point of the tile's pixel-center rect to the mean
+              farther than `radius` => the radius cutoff zeroes every
+              pixel.
+      ellipse max alpha over the rect = op * exp(-min_q) with min_q the
+              rect-constrained minimum of the conic quadratic
+              q = .5(a dx^2 + c dy^2) + b dxdy (clamped unconstrained
+              1-D minimizers per edge); max alpha < 1/255 => the alpha
+              cutoff zeroes every pixel. Applied only where the conic is
+              positive-definite (else keep).
+
+    cols: the gathered (12, I) per-instance table (see bin_gaussians).
+    Returns (I,) bool keep mask.
+    """
+    fb = lambda r: jax.lax.bitcast_convert_type(cols[r], jnp.float32)
+    mx, my = fb(5), fb(6)
+    ca, cb, cc = fb(7), fb(8), fb(9)
+    op, rad = fb(10), fb(11)
+
+    x0 = (tx * tile).astype(jnp.float32)
+    y0 = (ty * tile).astype(jnp.float32)
+    x1 = x0 + (tile - 1)                     # pixel CENTERS are integers
+    y1 = y0 + (tile - 1)
+
+    ddx = jnp.clip(mx, x0, x1) - mx
+    ddy = jnp.clip(my, y0, y1) - my
+    disk_ok = ddx * ddx + ddy * ddy <= rad * rad
+
+    # rect-constrained minimum of q over [lx,hx] x [ly,hy] (mean-rel.)
+    lx, hx = x0 - mx, x1 - mx
+    ly, hy = y0 - my, y1 - my
+    inside = (lx <= 0) & (hx >= 0) & (ly <= 0) & (hy >= 0)
+
+    def q(dx, dy):
+        return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+    safe_ca = jnp.where(ca > 0, ca, 1.0)
+    safe_cc = jnp.where(cc > 0, cc, 1.0)
+
+    def edge_v(dx):                          # vertical edge, fixed dx
+        dy = jnp.clip(-cb * dx / safe_cc, ly, hy)
+        return q(dx, dy)
+
+    def edge_h(dy):                          # horizontal edge, fixed dy
+        dx = jnp.clip(-cb * dy / safe_ca, lx, hx)
+        return q(dx, dy)
+
+    min_q = jnp.minimum(jnp.minimum(edge_v(lx), edge_v(hx)),
+                        jnp.minimum(edge_h(ly), edge_h(hy)))
+    min_q = jnp.where(inside, 0.0, jnp.maximum(min_q, 0.0))
+    pd = (ca > 0) & (cc > 0) & (ca * cc - cb * cb >= 0)
+    # margin 0.999: never cull a borderline-visible instance to fp noise
+    ellipse_dead = pd & (op * jnp.exp(-min_q) < MIN_ALPHA * 0.999)
+    return disk_ok & ~ellipse_dead
+
+
 def bin_gaussians(pg: ProjectedGaussians, width: int, height: int,
-                  budget: int, tile: int = TILE) -> TileBins:
+                  budget: int, tile: int = TILE,
+                  tight_cull: bool = True) -> TileBins:
     """Build the depth-sorted per-tile instance lists.
 
     budget: STATIC total instance capacity I. If the true instance count
     exceeds it, later instances (by Gaussian index) are dropped and
     `overflowed` is set — callers size the budget so this never happens in
     steady state (it is checkable cheaply on-host).
+    tight_cull: tight per-axis ellipse spans (tile_spans tight=True)
+    plus per-instance tile-rect culling (_tight_cull_keep); False keeps
+    the raw bounding-square expansion (A/B hook for tests/benchmarks).
     """
     n = pg.mean2d.shape[0]
-    tx0, ty0, w, h, nx, ny = tile_spans(pg, width, height, tile)
+    tx0, ty0, w, h, nx, ny = tile_spans(pg, width, height, tile,
+                                        tight=tight_cull)
     num_tiles = nx * ny
     counts = (w * h).astype(jnp.int32)
     offsets = jnp.cumsum(counts) - counts          # exclusive
@@ -129,15 +235,26 @@ def bin_gaussians(pg: ProjectedGaussians, width: int, height: int,
 
     # ONE combined column gather for the remaining per-Gaussian data
     # (vector-layout (I, k) gathers are ~10x cheaper than k separate
-    # element-granularity 1D gathers).
+    # element-granularity 1D gathers). f32 rows ride the int32 batch via
+    # raw bitcasts (rows 5..11 feed the tight-cull test below).
+    fbits = jax.lax.bitcast_convert_type
     per_g = jnp.stack([jnp.maximum(w, 1), tx0, ty0, depth_rank,
-                       pltpu_bits(pg.depth)], axis=0)     # (5, N) int32
-    cols = per_g[:, jnp.maximum(gid, 0)]                  # (5, I)
+                       pltpu_bits(pg.depth),
+                       fbits(pg.mean2d[:, 0], jnp.int32),
+                       fbits(pg.mean2d[:, 1], jnp.int32),
+                       fbits(pg.conic[:, 0], jnp.int32),
+                       fbits(pg.conic[:, 1], jnp.int32),
+                       fbits(pg.conic[:, 2], jnp.int32),
+                       fbits(pg.opacity, jnp.int32),
+                       fbits(pg.radius, jnp.int32)], axis=0)  # (12, N)
+    cols = per_g[:, jnp.maximum(gid, 0)]                  # (12, I)
     gw = cols[0]
     tx = cols[1] + rank % gw
     ty = cols[2] + rank // gw
-    tile_ids = jnp.where(valid & (gid >= 0), ty * nx + tx,
-                         num_tiles).astype(jnp.int32)
+    keep = valid & (gid >= 0)
+    if tight_cull:
+        keep &= _tight_cull_keep(cols, tx, ty, tile)
+    tile_ids = jnp.where(keep, ty * nx + tx, num_tiles).astype(jnp.int32)
     depth_rank_i = cols[3]
     gid = jnp.maximum(gid, 0)
 

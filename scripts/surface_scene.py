@@ -33,8 +33,15 @@ VAL_EVERY = 250
 
 
 def gt_surface_scene(seed=0):
-    """~20k Gaussians: bumpy striped sphere (r=1 @ origin) + checkered
-    floor plane (y=-1.05)."""
+    """~28k Gaussians: bumpy striped sphere (r=1 @ origin) + checkered
+    floor plane (y=-1.05) + enclosing sky dome (r=7).
+
+    The dome matters: training uses a RANDOM background color per step
+    (reference gs_trainer.py:254 — correct for real photos, where every
+    pixel is covered by content). A GT with open black sky is
+    ill-posed under that loss (the model would have to fake the sky
+    with black splats), which is exactly what degraded the first
+    camera-fixed run of this script (plateau at ~13 dB)."""
     rng = np.random.RandomState(seed)
     # fibonacci sphere
     n_s = 12000
@@ -61,12 +68,27 @@ def gt_surface_scene(seed=0):
                       0.25 + 0.5 * checker,
                       0.55 - 0.3 * checker], axis=1)
 
-    xyz = np.concatenate([xyz_s, xyz_f]).astype(np.float32)
-    col = np.clip(np.concatenate([col_s, col_f]), 0.0, 1.0).astype(
+    # sky dome: fibonacci sphere r=7 around the origin (cameras orbit at
+    # dist 3), soft vertical gradient + broad color blotches
+    n_d = 6000
+    j = np.arange(n_d) + 0.5
+    phi_d = np.arccos(1 - 2 * j / n_d)
+    th_d = np.pi * (1 + 5 ** 0.5) * j
+    xyz_d = 7.0 * np.stack([np.cos(th_d) * np.sin(phi_d),
+                            np.cos(phi_d),
+                            np.sin(th_d) * np.sin(phi_d)], axis=1)
+    up = np.cos(phi_d)                        # +1 zenith .. -1 nadir
+    col_d = np.stack([0.25 + 0.15 * np.sin(2 * th_d) + 0.1 * up,
+                      0.35 + 0.25 * up,
+                      0.55 + 0.3 * up], axis=1)
+
+    xyz = np.concatenate([xyz_s, xyz_f, xyz_d]).astype(np.float32)
+    col = np.clip(np.concatenate([col_s, col_f, col_d]), 0.0, 1.0).astype(
         np.float32)
     n = xyz.shape[0]
     scales = np.full((n, 3), 0.022, np.float32)
-    scales[n_s:] *= 1.6                      # floor splats a bit larger
+    scales[n_s:n_s + n_f * n_f] *= 1.6       # floor splats a bit larger
+    scales[n_s + n_f * n_f:] = 0.30          # dome splats: ~2x point spacing
     rotq = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
     opacity = np.full(n, 0.92, np.float32)
     shs = np.zeros((n, 16, 3), np.float32)
@@ -100,14 +122,18 @@ def main():
                                nframes=45, angle_limit=2 * np.pi)[:-1]
     bg = jnp.zeros(3)
 
-    render_gt = jax.jit(lambda cam: render(
-        *gt, camera=cam, width=W, height=H, bg=bg, active_sh_degree=0,
-        backend="pallas", instance_budget=1 << 18, tile=32)["render"])
+    def render_gt_fn(cam):
+        pkg = render(*gt, camera=cam, width=W, height=H, bg=bg,
+                     active_sh_degree=0, backend="pallas",
+                     instance_budget=1 << 19, tile=32)
+        return pkg["render"], pkg["overflowed"]
+    render_gt = jax.jit(render_gt_fn)
 
     frames = []
     for c in cams:
-        img = np.asarray(render_gt(c["camera"]))
-        frames.append({**c, "rgb": jnp.asarray(img),
+        img, ovf = render_gt(c["camera"])
+        assert not bool(ovf), "GT render overflowed its instance budget"
+        frames.append({**c, "rgb": jnp.asarray(np.asarray(img)),
                        "mask": jnp.ones((H, W), jnp.float32)})
     print("GT rendered:", len(frames), "views, mean",
           float(np.mean([f["rgb"].mean() for f in frames])), flush=True)

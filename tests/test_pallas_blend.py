@@ -34,7 +34,7 @@ def test_pallas_forward_matches_tiled(seed):
     img_p = render(means, scales, rotq, opacity, shs, backend="pallas",
                    **kw)["render"]
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_t),
-                               atol=1e-5)
+                               atol=2e-5)
 
 
 def test_pallas_gradients_match_tiled():
@@ -186,5 +186,8 @@ def test_pallas_tile16():
                    tile_cap=512, **kw)["render"]
     img_p = render(means, scales, rotq, opacity, shs, backend="pallas",
                    **kw)["render"]
+    # 2e-5: the pallas color accumulate runs bf16-split matmuls
+    # (~4e-6 relative per product, pallas_blend._split_mm3), so its
+    # noise floor vs the f32 tiled backend sits just above 1e-5.
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_t),
-                               atol=1e-5)
+                               atol=2e-5)

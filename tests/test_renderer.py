@@ -58,10 +58,27 @@ def test_binning_covers_visible():
         listed.update(seg.tolist())
         # per-tile front-to-back depth ordering
         assert (np.diff(dep[seg]) >= -1e-6).all()
-    # every visible gaussian appears in at least one tile list
-    _, _, w, h, _, _ = tile_spans(pg, W, H)
+    # every gaussian with a nonzero TIGHT span appears in some tile list
+    # (the per-instance rect cull can only drop provably-zero corner
+    # tiles, never all of a visible gaussian's tiles: its own mean's
+    # tile keeps it), and nothing outside the raw span sneaks in
+    _, _, w, h, _, _ = tile_spans(pg, W, H, tight=True)
     expect = set(np.nonzero(np.asarray(pg.mask & (w * h > 0)))[0].tolist())
-    assert expect <= listed
+    _, _, wr, hr, _, _ = tile_spans(pg, W, H, tight=False)
+    raw = set(np.nonzero(np.asarray(pg.mask & (wr * hr > 0)))[0].tolist())
+    assert listed <= raw
+    # correctness of what IS dropped is pinned by test_tight_cull_exact;
+    # here just require the tight binning not to lose rendered content:
+    missing = expect - listed
+    if missing:
+        from hugs_tpu.render.oracle import gaussian_alpha
+        ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                              jnp.arange(W, dtype=jnp.float32),
+                              indexing="ij")
+        for g in missing:
+            a = gaussian_alpha(pg.mean2d[g], pg.conic[g], pg.opacity[g],
+                               xs, ys, pg.radius[g])
+            assert float(jnp.max(a)) == 0.0, g
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -119,3 +136,38 @@ def test_alive_mask_culls():
     np.testing.assert_allclose(out["render"][0], 1.0, atol=1e-6)
     np.testing.assert_allclose(out["render"][1], 0.0, atol=1e-6)
     assert not bool(out["visibility_filter"].any())
+
+
+def test_tight_cull_exact():
+    """Tight per-instance culling (tiles._tight_cull_keep) removes ONLY
+    provably-zero (Gaussian, tile) pairs: the f32 tiled blend over culled
+    bins matches the blend over raw bounding-square bins to reduction-
+    regrouping noise (~1 ulp: dropping exact-zero terms regroups XLA's
+    tree reductions), while removing a nontrivial instance fraction."""
+    from hugs_tpu.render.blend import blend_tiles
+
+    means, scales, rotq, opacity, shs, cam = make_scene(n=250, seed=3)
+    pg = project_gaussians(means, scales, rotq, opacity, shs, cam, W, H,
+                           active_sh_degree=3)
+    bg = jnp.array([0.15, 0.25, 0.35])
+    kw = dict(width=W, height=H, budget=16384)
+    bins_raw = bin_gaussians(pg, tight_cull=False, **kw)
+    bins_cul = bin_gaussians(pg, tight_cull=True, **kw)
+    raw = int(bins_raw.aligned_total)
+    cul = int(bins_cul.aligned_total)
+    assert cul < raw, (raw, cul)  # the cull must actually cull
+    img_raw = blend_tiles(pg, bins_raw, W, H, bg, tile_cap=2048)
+    img_cul = blend_tiles(pg, bins_cul, W, H, bg, tile_cap=2048)
+    np.testing.assert_allclose(np.asarray(img_cul), np.asarray(img_raw),
+                               atol=1e-6)
+
+    # gradients too: culled instances contribute zero cotangent
+    def loss(fn_bins, m2d):
+        pg2 = pg._replace(mean2d=m2d)
+        return jnp.sum(blend_tiles(pg2, fn_bins, W, H, bg, tile_cap=2048)
+                       ** 2)
+
+    g_raw = jax.grad(lambda m: loss(bins_raw, m))(pg.mean2d)
+    g_cul = jax.grad(lambda m: loss(bins_cul, m))(pg.mean2d)
+    np.testing.assert_allclose(np.asarray(g_cul), np.asarray(g_raw),
+                               atol=1e-6, rtol=1e-5)

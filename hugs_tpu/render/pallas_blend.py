@@ -122,6 +122,29 @@ def _tile_pixels(t, nx, tile):
     return px, py
 
 
+def _moment_basis(tile):
+    """(8, P) bf16 moment basis over tile-LOCAL pixel coords: rows
+    [1, u, v, u^2, v^2, uv, 0, 0] with u = px%tile - tile//2 (and v in
+    y). Centering keeps |u| <= tile/2, so u^2 <= (tile/2)^2 <= 256 at
+    tile=32 and every entry is EXACTLY representable in bf16 — the
+    moment matmul's only rounding comes from splitting the f32 operand.
+    Loop-invariant (subtile-independent): hoisted out of the chunk walk.
+    """
+    P = tile * tile
+    h = tile // 2
+    r = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
+    p = jax.lax.broadcasted_iota(jnp.int32, (8, P), 1)
+    u = (p % tile - h).astype(jnp.float32)
+    v = (p // tile - h).astype(jnp.float32)
+    b = jnp.where(r == 0, 1.0,
+        jnp.where(r == 1, u,
+        jnp.where(r == 2, v,
+        jnp.where(r == 3, u * u,
+        jnp.where(r == 4, v * v,
+        jnp.where(r == 5, u * v, 0.0))))))
+    return b.astype(jnp.bfloat16)
+
+
 def _chunk_alpha(chunk, valid, px, py):
     """alpha (P, CHUNK) for one instance chunk.
 
@@ -444,21 +467,47 @@ def _bwd_kernel(starts_ref, counts_ref,          # counts are EFFECTIVE:
         unclamped = (alpha < MAX_ALPHA)
         op = chunk[F_OP, :][None, :]
         recip_op = 1.0 / jnp.maximum(op, 1e-12)        # (1, CHUNK)
-        dpa = d_alpha * alpha
-        d_op = jnp.where(unclamped & live, dpa * recip_op, 0.0)
-        d_power = jnp.where(unclamped & live & (power < 0.0), dpa, 0.0)
+        dp = jnp.where(unclamped & live, d_alpha * alpha, 0.0)
 
+        # ALL six pixel reductions for the scalar grads ride ONE moment
+        # matmul: mom_k = sum_p dp * basis_k with basis [1,u,v,u^2,v^2,
+        # uv] over tile-local centered pixel coords (_moment_basis). The
+        # op grad is m0 / op directly (live requires power <= 0, and at
+        # power == 0 the position/conic factors dx = dy = 0 vanish from
+        # the reconstruction exactly, so no power < 0 mask is needed);
+        # d_mx/../d_cc reconstruct from the moments by per-instance
+        # (1, CHUNK) row algebra with mxl = mx - tile_center. Replaces
+        # ~15 (P, CHUNK) VPU passes + 6 sublane reductions with 2 MXU
+        # matmuls (K = P) on a bf16-exact basis.
+        dph = dp.astype(jnp.bfloat16)
+        dpl = (dp - dph.astype(jnp.float32)).astype(jnp.bfloat16)
+        mb = _moment_basis(tile)
+        dd = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mom = dd(mb, dph) + dd(mb, dpl)                # (8, CHUNK)
+        m0, m1, m2 = mom[0:1], mom[1:2], mom[2:3]
+        m3, m4, m5 = mom[3:4], mom[4:5], mom[5:6]
+        tyg = t // nx
+        txg = t - tyg * nx
+        hh = tile // 2
+        mxl = chunk[F_MX, :][None, :] - (txg * tile + hh).astype(jnp.float32)
+        myl = chunk[F_MY, :][None, :] - (tyg * tile + hh).astype(jnp.float32)
+        dxs = mxl * m0 - m1                            # sum dp * dx
+        dys = myl * m0 - m2
+        dx2s = mxl * (mxl * m0 - 2.0 * m1) + m3        # sum dp * dx^2
+        dy2s = myl * (myl * m0 - 2.0 * m2) + m4
+        dxys = mxl * (myl * m0 - m2) - myl * m1 + m5   # sum dp * dx*dy
         ca = chunk[F_CA, :][None, :]
         cb = chunk[F_CB, :][None, :]
         cc = chunk[F_CC, :][None, :]
-        d_mx = d_power * (-(ca * dx + cb * dy))
-        d_my = d_power * (-(cc * dy + cb * dx))
-        d_ca = d_power * (-0.5 * dx2)
-        d_cb = d_power * (-dxy)
-        d_cc = d_power * (-0.5 * dy2)
-
-        def red(x):                                    # (1, CHUNK)
-            return jnp.sum(x, axis=0, keepdims=True)
+        r_op = m0 * recip_op
+        r_mx = -(ca * dxs + cb * dys)
+        r_my = -(cc * dys + cb * dxs)
+        r_ca = -0.5 * dx2s
+        r_cb = -dxys
+        r_cc = -0.5 * dy2s
 
         d_rgb = _split_mm3(                            # (8, CHUNK)
             g, w, (((1,), (0,)), ((), ())))
@@ -466,8 +515,7 @@ def _bwd_kernel(starts_ref, counts_ref,          # counts are EFFECTIVE:
             [d_rgb, jnp.zeros((N_FEAT - 8, CHUNK), jnp.float32)], axis=0)
         scal16 = jnp.concatenate(
             [jnp.zeros((3, CHUNK), jnp.float32),
-             red(d_op), red(d_mx), red(d_my), red(d_ca), red(d_cb),
-             red(d_cc),
+             r_op, r_mx, r_my, r_ca, r_cb, r_cc,
              jnp.zeros((N_FEAT - 9, CHUNK), jnp.float32)], axis=0)
         gchunk = d_rgb16 + scal16                      # (N_FEAT, CHUNK)
 

@@ -47,6 +47,9 @@ def main():
     from hugs_tpu.render import render, make_camera
 
     backend = os.environ.get("HUGS_BENCH_BACKEND", "pallas")
+    tile_s = os.environ.get("HUGS_BENCH_TILE", "32")
+    tile = tuple(int(x) for x in tile_s.split("x")) if "x" in tile_s \
+        else int(tile_s)
     params = build_scene(N_GAUSS)
     cam = make_camera(jnp.eye(3), jnp.zeros(3), 0.9, 0.55)
     target = jax.random.uniform(jax.random.PRNGKey(9), (3, H, W))
@@ -59,7 +62,7 @@ def main():
                      jax.nn.sigmoid(ol), c, camera=cam, width=W, height=H,
                      bg=bg, active_sh_degree=3, backend=backend,
                      tile_cap=1024, instance_budget=131072,
-                     tile=32)["render"]
+                     tile=tile)["render"]
         return jnp.mean(jnp.abs(img - target))
 
     step = jax.jit(jax.grad(loss_fn))

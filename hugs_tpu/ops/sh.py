@@ -97,3 +97,59 @@ def rgb_to_sh(rgb: jnp.ndarray) -> jnp.ndarray:
 def sh_to_rgb(sh: jnp.ndarray) -> jnp.ndarray:
     """DC SH coefficient -> RGB (reference SH2RGB)."""
     return sh * C0 + 0.5
+
+
+def sh_basis_rows(max_deg: int, x, y, z):
+    """SH basis values as a list of (deg+1)^2 arrays shaped like x.
+
+    Row-major variant for TPU: callers keep the batch axis in LANES
+    ((N,) rows) instead of evaluating over (N, K, C) tensors whose
+    3-wide channel axis pads to 128 lanes (a ~40x VPU-width waste
+    measured on chip). Same constants/order as eval_sh.
+    """
+    basis = [jnp.full_like(x, C0)]
+    if max_deg >= 1:
+        basis += [-C1 * y, C1 * z, -C1 * x]
+    if max_deg >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        basis += [C2[0] * xy, C2[1] * yz, C2[2] * (2.0 * zz - xx - yy),
+                  C2[3] * xz, C2[4] * (xx - yy)]
+    if max_deg >= 3:
+        basis += [C3[0] * y * (3 * xx - yy), C3[1] * xy * z,
+                  C3[2] * y * (4 * zz - xx - yy),
+                  C3[3] * z * (2 * zz - 3 * xx - 3 * yy),
+                  C3[4] * x * (4 * zz - xx - yy), C3[5] * z * (xx - yy),
+                  C3[6] * x * (xx - 3 * yy)]
+    if max_deg >= 4:
+        basis += [C4[0] * xy * (xx - yy), C4[1] * yz * (3 * xx - yy),
+                  C4[2] * xy * (7 * zz - 1), C4[3] * yz * (7 * zz - 3),
+                  C4[4] * (zz * (35 * zz - 30) + 3),
+                  C4[5] * xz * (7 * zz - 3),
+                  C4[6] * (xx - yy) * (7 * zz - 1),
+                  C4[7] * xz * (xx - 3 * yy),
+                  C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy))]
+    return basis
+
+
+def eval_sh_rows(max_deg: int, active_deg, sh_rows: jnp.ndarray,
+                 x, y, z) -> jnp.ndarray:
+    """Row-major masked SH evaluation.
+
+    sh_rows: (K*C, N) with row k*C + c = coefficient k of channel c
+    (i.e. shs (N, K, C).reshape(N, K*C).T). x/y/z: (N,) unit direction
+    rows. Returns (C, N) channel rows. Bands above the traced
+    active_deg are zero-masked (same semantics as eval_sh_masked).
+    """
+    basis = sh_basis_rows(max_deg, x, y, z)
+    band = 0
+    out = None
+    for k, b in enumerate(basis):
+        deg_k = int(k ** 0.5)
+        if deg_k > 0:
+            b = b * (jnp.asarray(active_deg) >= deg_k).astype(b.dtype)
+        term = b[None, :] * sh_rows[3 * k:3 * k + 3]
+        out = term if out is None else out + term
+        band = deg_k
+    del band
+    return out

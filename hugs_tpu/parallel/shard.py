@@ -28,7 +28,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from hugs_tpu.render.camera import Camera
-from hugs_tpu.render.project import project_gaussians
+from hugs_tpu.render.project import project_gaussians, update_mean2d
 from hugs_tpu.render.tiles import bin_gaussians, TILE
 from hugs_tpu.render.blend import blend_tiles
 
@@ -41,9 +41,11 @@ def make_mesh(shape=None, axis_names=("tile",)) -> Mesh:
     return Mesh(devs.reshape(shape), axis_names)
 
 
-def _band_height(height: int, n_bands: int, tile: int) -> int:
+def _band_height(height: int, n_bands: int, tile) -> int:
+    from hugs_tpu.render.tiles import tile_wh
+    th = tile_wh(tile)[1]
     per = -(-height // n_bands)
-    return -(-per // tile) * tile
+    return -(-per // th) * th
 
 
 def render_tile_sharded(
@@ -86,8 +88,7 @@ def render_tile_sharded(
         pg = project_gaussians(means3d, scales, rotq, opacity, shs, camera,
                                width, height, active_sh_degree,
                                scaling_modifier, alive=alive)
-        pg = pg._replace(mean2d=pg.mean2d + hook
-                         - jnp.stack([jnp.zeros_like(y0), y0]))
+        pg = update_mean2d(pg, hook - jnp.stack([jnp.zeros_like(y0), y0]))
         bins = bin_gaussians(pg, width, band_h, budget, tile)
         img = blend_tiles(pg, bins, width, band_h, bg, tile_cap, tile)
         return img  # (3, band_h, W)

@@ -34,7 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from hugs_tpu.models import human_gs as hgs
 from hugs_tpu.models import scene_gs as sgs
-from hugs_tpu.render.project import project_gaussians
+from hugs_tpu.render.project import project_gaussians, update_mean2d
 from hugs_tpu.render.tiles import bin_gaussians, TILE
 from hugs_tpu.render.blend import blend_tiles
 from hugs_tpu.losses.loss import HumanSceneLoss
@@ -86,8 +86,7 @@ def make_dp_tile_train_step(
         """Blend this chip's band of an already-projected Gaussian set
         and gather the full frame (band coords: shift mean2d)."""
         y0 = (t * band_h).astype(jnp.float32)
-        pg = pg._replace(mean2d=pg.mean2d - jnp.stack(
-            [jnp.zeros_like(y0), y0]))
+        pg = update_mean2d(pg, -jnp.stack([jnp.zeros_like(y0), y0]))
         bins = bin_gaussians(pg, width, band_h, instance_budget, tile)
         if backend == "pallas":
             from hugs_tpu.render.pallas_blend import blend_tiles_pallas
@@ -129,7 +128,7 @@ def make_dp_tile_train_step(
             pg = project_gaussians(xyz, scales, rotq, opac, shs, camera,
                                    width, height,
                                    h_out["active_sh_degree"], alive=alive)
-            pg = pg._replace(mean2d=pg.mean2d + hook)
+            pg = update_mean2d(pg, hook)
             img, overflowed, n_inst = band_render(pg, bg, t)
             pkg = {"render": img,
                    "radii": pg.radius,

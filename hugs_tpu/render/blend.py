@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from hugs_tpu.render.oracle import gaussian_alpha, LOG_TEPS
 from hugs_tpu.render.project import ProjectedGaussians
-from hugs_tpu.render.tiles import TileBins, TILE, tile_grid
+from hugs_tpu.render.tiles import TileBins, TILE, tile_grid, tile_wh
 
 
 def blend_tiles(pg: ProjectedGaussians, bins: TileBins, width: int,
@@ -28,8 +28,9 @@ def blend_tiles(pg: ProjectedGaussians, bins: TileBins, width: int,
                 tile: int = TILE, tiles_per_batch: int = 16) -> jnp.ndarray:
     """Composite all tiles. Returns (3, H, W) in [0, 1]."""
     nx, ny = tile_grid(width, height, tile)
+    tw, th = tile_wh(tile)
     num_tiles = nx * ny
-    P = tile * tile
+    P = tw * th
 
     opac = jnp.where(pg.mask, pg.opacity, 0.0)
 
@@ -47,8 +48,8 @@ def blend_tiles(pg: ProjectedGaussians, bins: TileBins, width: int,
         a_op = jnp.where(live, opac[gi], 0.0)
 
         ty, tx = t // nx, t % nx
-        px = (tx * tile + jnp.arange(tile)).astype(jnp.float32)
-        py = (ty * tile + jnp.arange(tile)).astype(jnp.float32)
+        px = (tx * tw + jnp.arange(tw)).astype(jnp.float32)
+        py = (ty * th + jnp.arange(th)).astype(jnp.float32)
         pxx, pyy = jnp.meshgrid(px, py)                  # (tile, tile)
         pxf, pyf = pxx.ravel(), pyy.ravel()              # (P,)
 
@@ -85,11 +86,11 @@ def blend_tiles(pg: ProjectedGaussians, bins: TileBins, width: int,
     pad_tiles = (-num_tiles) % tiles_per_batch
     all_t = jnp.arange(num_tiles + pad_tiles, dtype=jnp.int32) % num_tiles
     tiled = jax.lax.map(batch_fn, all_t.reshape(-1, tiles_per_batch))
-    tiled = tiled.reshape(-1, 3, tile, tile)[:num_tiles]  # (T, 3, th, tw)
+    tiled = tiled.reshape(-1, 3, th, tw)[:num_tiles]      # (T, 3, th, tw)
 
     # Assemble tiles into the padded image, then crop.
-    img = tiled.reshape(ny, nx, 3, tile, tile)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(3, ny * tile, nx * tile)
+    img = tiled.reshape(ny, nx, 3, th, tw)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(3, ny * th, nx * tw)
     return jnp.clip(img[:, :height, :width], 0.0, 1.0)
 
 

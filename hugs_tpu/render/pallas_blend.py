@@ -112,13 +112,17 @@ def _split_mm3(x, y, dims):
 
 
 def _tile_pixels(t, nx, tile):
-    """Pixel-center coords of tile t as (P, 1) sublane vectors."""
-    P = tile * tile
+    """Pixel-center coords of tile t as (P, 1) sublane vectors.
+
+    tile may be rectangular (tw, th); pixels are laid out row-major
+    within the tile (x fastest)."""
+    tw, th = tile if isinstance(tile, tuple) else (tile, tile)
+    P = tw * th
     ty = t // nx
     tx = t - ty * nx
     lin = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    px = (tx * tile + lin % tile).astype(jnp.float32)
-    py = (ty * tile + lin // tile).astype(jnp.float32)
+    px = (tx * tw + lin % tw).astype(jnp.float32)
+    py = (ty * th + lin // tw).astype(jnp.float32)
     return px, py
 
 
@@ -130,12 +134,12 @@ def _moment_basis(tile):
     moment matmul's only rounding comes from splitting the f32 operand.
     Loop-invariant (subtile-independent): hoisted out of the chunk walk.
     """
-    P = tile * tile
-    h = tile // 2
+    tw, th = tile if isinstance(tile, tuple) else (tile, tile)
+    P = tw * th
     r = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
     p = jax.lax.broadcasted_iota(jnp.int32, (8, P), 1)
-    u = (p % tile - h).astype(jnp.float32)
-    v = (p // tile - h).astype(jnp.float32)
+    u = (p % tw - tw // 2).astype(jnp.float32)
+    v = (p // tw - th // 2).astype(jnp.float32)
     b = jnp.where(r == 0, 1.0,
         jnp.where(r == 1, u,
         jnp.where(r == 2, v,
@@ -222,7 +226,8 @@ def _fwd_kernel(starts_ref, counts_ref,          # scalar prefetch (SMEM)
                 acc_ref, logt_ref, buf, sems,    # scratch
                 *, nx, tile, tpc, width, height):
     c = pl.program_id(0)
-    P = tile * tile
+    tw_, th_ = tile if isinstance(tile, tuple) else (tile, tile)
+    P = tw_ * th_
     t0 = c * tpc
     counts, nch, cum, total = _cell_tables(starts_ref, counts_ref, t0, tpc)
     starts = [starts_ref[t0 + i] for i in range(tpc)]
@@ -351,7 +356,8 @@ def _bwd_kernel(starts_ref, counts_ref,          # counts are EFFECTIVE:
                 g_scr, ltf_scr, sufs0_scr,
                 *, nx, tile, tpc):
     c = pl.program_id(0)
-    P = tile * tile
+    tw_, th_ = tile if isinstance(tile, tuple) else (tile, tile)
+    P = tw_ * th_
     t0 = c * tpc
     counts, nch, cum, total = _cell_tables(starts_ref, counts_ref, t0, tpc)
     starts = [starts_ref[t0 + i] for i in range(tpc)]
@@ -491,9 +497,11 @@ def _bwd_kernel(starts_ref, counts_ref,          # counts are EFFECTIVE:
         m3, m4, m5 = mom[3:4], mom[4:5], mom[5:6]
         tyg = t // nx
         txg = t - tyg * nx
-        hh = tile // 2
-        mxl = chunk[F_MX, :][None, :] - (txg * tile + hh).astype(jnp.float32)
-        myl = chunk[F_MY, :][None, :] - (tyg * tile + hh).astype(jnp.float32)
+        twk, thk = tile if isinstance(tile, tuple) else (tile, tile)
+        mxl = chunk[F_MX, :][None, :] \
+            - (txg * twk + twk // 2).astype(jnp.float32)
+        myl = chunk[F_MY, :][None, :] \
+            - (tyg * thk + thk // 2).astype(jnp.float32)
         dxs = mxl * m0 - m1                            # sum dp * dx
         dys = myl * m0 - m2
         dx2s = mxl * (mxl * m0 - 2.0 * m1) + m3        # sum dp * dx^2
@@ -541,10 +549,14 @@ def _bwd_kernel(starts_ref, counts_ref,          # counts are EFFECTIVE:
 # ------------------------------------------------------------ XLA wrapper
 
 def _gauss_feat(pg: ProjectedGaussians) -> jnp.ndarray:
-    """Per-GAUSSIAN feature matrix (N_FEAT, N), row order
-    r g b op mx my ca cb cc rad. Built elementwise so the instance pack
-    is ONE column gather (separate per-field scalar gathers lower to
-    element-granularity gathers that are ~100x slower on TPU)."""
+    """Per-GAUSSIAN feature matrix (N_USED=10, N), row order
+    r g b op mx my ca cb cc rad. project_gaussians emits exactly this
+    as pg.feat (feature-major rows, no relayouts); the column-extract
+    fallback below covers hand-built ProjectedGaussians (each extract
+    is a lane<->sublane relayout, and separate per-field scalar gathers
+    downstream would be ~100x slower still)."""
+    if pg.feat is not None:
+        return pg.feat
     opac = jnp.where(pg.mask, pg.opacity, 0.0)
     return jnp.stack([
         pg.rgb[:, 0], pg.rgb[:, 1], pg.rgb[:, 2],
@@ -556,17 +568,24 @@ def _gauss_feat(pg: ProjectedGaussians) -> jnp.ndarray:
 
 
 def _pack_aligned(feat, gauss_id, i_pad):
-    """feat (N_USED=10, N) -> aligned instance array (N_FEAT, i_pad).
+    """feat (N_USED, N) -> aligned instance array (N_FEAT, i_pad).
 
     Plain gather; its AD transpose (scatter-add over gauss ids) measured
     FASTER on TPU than a hand-written inverse-permute + sorted
-    segment-sum backward, so default AD it is. Only the 10 real feature
-    rows are gathered — the row pad to N_FEAT happens AFTER, so both the
-    gather and its transposed scatter move 10/16 of the bytes (the pad's
-    transpose is a free row slice)."""
-    inst = feat[:, gauss_id]                        # (N_USED, I)
-    return jnp.pad(inst, ((0, N_FEAT - feat.shape[0]),
-                          (0, i_pad - inst.shape[1])))
+    segment-sum backward, so default AD it is. TPU gathers are INDEX-
+    bound (~7ns/index regardless of row count), so the row pad to
+    N_FEAT happens BEFORE the gather (pad rows ride along free) and the
+    lane pad rides the index vector — a post-gather jnp.pad measured
+    ~1ms extra (it materializes a second (16, I) copy)."""
+    n_used = feat.shape[0]
+    if n_used < N_FEAT:
+        feat = jnp.concatenate(
+            [feat, jnp.zeros((N_FEAT - n_used,) + feat.shape[1:],
+                             feat.dtype)], axis=0)
+    idx = gauss_id
+    if idx.shape[0] < i_pad:
+        idx = jnp.pad(idx, (0, i_pad - idx.shape[0]))
+    return feat[:, idx]                             # (N_FEAT, i_pad)
 
 
 def _interpret_default():
@@ -596,7 +615,8 @@ def _blend_pallas_core(inst, starts, counts, total, bg, nx, ny, tile,
 
 
 def _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile, width, height):
-    P = tile * tile
+    tw, th = tile if isinstance(tile, tuple) else (tile, tile)
+    P = tw * th
     starts, counts, cells = _pad_cells(starts, counts, nx * ny)
     kernel = functools.partial(_fwd_kernel, nx=nx, tile=tile, tpc=TPC,
                                width=width, height=height)
@@ -644,7 +664,8 @@ def _blend_core_bwd(nx, ny, tile, width, height, res, g_outs):
     inst, starts, counts, total, bg, fwd_out, nchunks = res
     g_out = g_outs[0]                  # cotangent for the int32 counts
     #                                    output is symbolic-zero; ignore
-    P = tile * tile
+    tw, th = tile if isinstance(tile, tuple) else (tile, tile)
+    P = tw * th
     starts, counts, cells = _pad_cells(starts, counts, nx * ny)
     # the backward only needs the chunks the forward actually processed:
     # cap each subtile's instance count at done_chunks * CHUNK
@@ -716,6 +737,8 @@ def blend_tiles_pallas(pg: ProjectedGaussians, bins: TileBins, width: int,
     itself uses the custom-VJP kernel pair.
     """
     nx, ny = tile_grid(width, height, tile)
+    tw, th = tile if isinstance(tile, tuple) else (tile, tile)
+    tile = (tw, th)   # normalized (hashable) static arg for the kernels
     T = nx * ny
 
     # pad width to a CHUNK multiple for clean memref tiling (segments
@@ -728,6 +751,6 @@ def blend_tiles_pallas(pg: ProjectedGaussians, bins: TileBins, width: int,
 
     out, _ = _blend_pallas_core(inst, bins.starts, counts, total, bg,
                                 nx, ny, tile, width, height)  # (T_pad,8,P)
-    img = out[:T, :3, :].reshape(ny, nx, 3, tile, tile)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(3, ny * tile, nx * tile)
+    img = out[:T, :3, :].reshape(ny, nx, 3, th, tw)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(3, ny * th, nx * tw)
     return jnp.clip(img[:, :height, :width], 0.0, 1.0)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from hugs_tpu.render.camera import Camera
-from hugs_tpu.render.project import project_gaussians
+from hugs_tpu.render.project import project_gaussians, update_mean2d
 from hugs_tpu.render.tiles import bin_gaussians, TILE
 from hugs_tpu.render.blend import blend_tiles
 from hugs_tpu.render.oracle import render_oracle
@@ -58,7 +58,7 @@ def render(
                            width, height, active_sh_degree, scaling_modifier,
                            alive=alive)
     if mean2d_grad_hook is not None:
-        pg = pg._replace(mean2d=pg.mean2d + mean2d_grad_hook)
+        pg = update_mean2d(pg, mean2d_grad_hook)  # keeps pg.feat in sync
 
     n_instances = jnp.int32(0)
     if backend == "oracle":

@@ -59,8 +59,24 @@ class TileBins(NamedTuple):
     overflowed: jnp.ndarray   # () bool: instance budget exceeded
 
 
-def tile_grid(width: int, height: int, tile: int = TILE) -> tuple[int, int]:
-    return (-(-width // tile), -(-height // tile))
+def tile_wh(tile) -> tuple[int, int]:
+    """Normalize a tile spec to (tile_w, tile_h).
+
+    Tiles may be RECTANGULAR: an int means square; a (w, h) pair sets
+    each axis. Rectangular tiles matter for the Pallas blend: the
+    per-chunk vector work scales with P = w*h while the instance
+    duplication only grows with the shrunken axis, so 32x16 does about
+    half the (pixel, instance) pair work of 32x32 for ~15% more
+    instances (the dominant term on non-saturating scenes)."""
+    if isinstance(tile, int):
+        return tile, tile
+    tw, th = tile
+    return int(tw), int(th)
+
+
+def tile_grid(width: int, height: int, tile=TILE) -> tuple[int, int]:
+    tw, th = tile_wh(tile)
+    return (-(-width // tw), -(-height // th))
 
 
 def tile_spans(pg: ProjectedGaussians, width: int, height: int,
@@ -80,14 +96,14 @@ def tile_spans(pg: ProjectedGaussians, width: int, height: int,
     are invisible outright (max alpha < cutoff) and get a zero span.
     """
     nx, ny = tile_grid(width, height, tile)
-    r = pg.radius
+    tw, th = tile_wh(tile)
+    mxr, myr, ca, cb, cc, opr, r = _pg_rows(pg)
     mask = pg.mask
     if tight:
-        ca, cb, cc = pg.conic[:, 0], pg.conic[:, 1], pg.conic[:, 2]
         det = ca * cc - cb * cb
         pd = (ca > 0.0) & (cc > 0.0) & (det > 0.0)
         safe_det = jnp.where(pd, det, 1.0)
-        L = jnp.log(jnp.maximum(pg.opacity, 1e-12) * 255.0)
+        L = jnp.log(jnp.maximum(opr, 1e-12) * 255.0)
         # 1.0001 + 1e-3: fp-safety margin; the pixel grid is integer and
         # tiles are 16-32 px, so a ~0.001 px slack never adds a tile but
         # guards the sqrt/log rounding against culling a live pixel.
@@ -95,7 +111,7 @@ def tile_spans(pg: ProjectedGaussians, width: int, height: int,
                                       * cov_ii) * 1.0001 + 1e-3
         rx = jnp.minimum(jnp.where(pd, ext(cc / safe_det), r), r)
         ry = jnp.minimum(jnp.where(pd, ext(ca / safe_det), r), r)
-        mask = mask & (pg.opacity >= MIN_ALPHA)
+        mask = mask & (opr >= MIN_ALPHA)
     else:
         rx = ry = r
     # floor (not int32 trunc-toward-zero): band-sharded rendering feeds
@@ -103,20 +119,35 @@ def tile_spans(pg: ProjectedGaussians, width: int, height: int,
     # a Gaussian ending within `tile` px above the band spuriously cover
     # its first row — harmless alpha-wise (radius-cutoff zeroes it) but
     # it perturbs tile_cap truncation vs the full-grid binning.
-    tx0 = jnp.clip(jnp.floor((pg.mean2d[:, 0] - rx) / tile).astype(jnp.int32),
+    tx0 = jnp.clip(jnp.floor((mxr - rx) / tw).astype(jnp.int32), 0, nx)
+    ty0 = jnp.clip(jnp.floor((myr - ry) / th).astype(jnp.int32), 0, ny)
+    tx1 = jnp.clip(jnp.floor((mxr + rx) / tw).astype(jnp.int32) + 1,
                    0, nx)
-    ty0 = jnp.clip(jnp.floor((pg.mean2d[:, 1] - ry) / tile).astype(jnp.int32),
+    ty1 = jnp.clip(jnp.floor((myr + ry) / th).astype(jnp.int32) + 1,
                    0, ny)
-    tx1 = jnp.clip(jnp.floor((pg.mean2d[:, 0] + rx) / tile).astype(jnp.int32)
-                   + 1, 0, nx)
-    ty1 = jnp.clip(jnp.floor((pg.mean2d[:, 1] + ry) / tile).astype(jnp.int32)
-                   + 1, 0, ny)
     w = jnp.where(mask, tx1 - tx0, 0)
     h = jnp.where(mask, ty1 - ty0, 0)
     return tx0, ty0, w, h, nx, ny
 
 
 MIN_ALPHA = 1.0 / 255.0   # == oracle.MIN_ALPHA (import cycle avoided)
+
+
+def _pg_rows(pg: ProjectedGaussians):
+    """(mx, my, ca, cb, cc, op, rad) as (N,) rows.
+
+    Reads the feature-major pg.feat cache when present (free row
+    slices); otherwise extracts columns from the (N, k) fields — each
+    such extract is a lane<->sublane relayout on TPU, which is why
+    project_gaussians emits the cache. NOTE: pg.feat row 3 is the
+    MASKED opacity; the span/cull math only reads opacity where
+    pg.mask holds, so the two paths agree.
+    """
+    if pg.feat is not None:
+        f = pg.feat
+        return f[4], f[5], f[6], f[7], f[8], f[3], f[9]
+    return (pg.mean2d[:, 0], pg.mean2d[:, 1], pg.conic[:, 0],
+            pg.conic[:, 1], pg.conic[:, 2], pg.opacity, pg.radius)
 
 
 def _tight_cull_keep(cols, tx, ty, tile):
@@ -150,10 +181,11 @@ def _tight_cull_keep(cols, tx, ty, tile):
     ca, cb, cc = fb(7), fb(8), fb(9)
     op, rad = fb(10), fb(11)
 
-    x0 = (tx * tile).astype(jnp.float32)
-    y0 = (ty * tile).astype(jnp.float32)
-    x1 = x0 + (tile - 1)                     # pixel CENTERS are integers
-    y1 = y0 + (tile - 1)
+    tw, th = tile_wh(tile)
+    x0 = (tx * tw).astype(jnp.float32)
+    y0 = (ty * th).astype(jnp.float32)
+    x1 = x0 + (tw - 1)                       # pixel CENTERS are integers
+    y1 = y0 + (th - 1)
 
     ddx = jnp.clip(mx, x0, x1) - mx
     ddy = jnp.clip(my, y0, y1) - my
@@ -235,18 +267,20 @@ def bin_gaussians(pg: ProjectedGaussians, width: int, height: int,
 
     # ONE combined column gather for the remaining per-Gaussian data
     # (vector-layout (I, k) gathers are ~10x cheaper than k separate
-    # element-granularity 1D gathers). f32 rows ride the int32 batch via
+    # element-granularity 1D gathers; TPU gathers are index-bound, so
+    # extra rows ride along ~free). f32 rows ride the int32 batch via
     # raw bitcasts (rows 5..11 feed the tight-cull test below).
     fbits = jax.lax.bitcast_convert_type
+    mxr, myr, car, cbr, ccr, opr, radr = _pg_rows(pg)
     per_g = jnp.stack([jnp.maximum(w, 1), tx0, ty0, depth_rank,
                        pltpu_bits(pg.depth),
-                       fbits(pg.mean2d[:, 0], jnp.int32),
-                       fbits(pg.mean2d[:, 1], jnp.int32),
-                       fbits(pg.conic[:, 0], jnp.int32),
-                       fbits(pg.conic[:, 1], jnp.int32),
-                       fbits(pg.conic[:, 2], jnp.int32),
-                       fbits(pg.opacity, jnp.int32),
-                       fbits(pg.radius, jnp.int32)], axis=0)  # (12, N)
+                       fbits(mxr, jnp.int32),
+                       fbits(myr, jnp.int32),
+                       fbits(car, jnp.int32),
+                       fbits(cbr, jnp.int32),
+                       fbits(ccr, jnp.int32),
+                       fbits(opr, jnp.int32),
+                       fbits(radr, jnp.int32)], axis=0)  # (12, N)
     cols = per_g[:, jnp.maximum(gid, 0)]                  # (12, I)
     gw = cols[0]
     tx = cols[1] + rank % gw

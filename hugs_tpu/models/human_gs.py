@@ -30,6 +30,10 @@ import numpy as np
 
 from hugs_tpu.models.smpl import SMPLModel, smpl_forward, lbs_extra, \
     vitruvian_pose
+
+# positions flow through these transforms; TPU bf16-default matmul
+# error (2^-8 relative) is ~millimetres -> pixels. Tiny-K: HIGHEST is free.
+_HI = jax.lax.Precision.HIGHEST
 from hugs_tpu.models.mesh import unique_edges, vertex_normals
 from hugs_tpu.models.nets import (
     triplane_init, triplane_apply,
@@ -322,7 +326,8 @@ def human_forward(
     gt_lbs_weights = None
     if cfg.use_deformer:
         # vitruvian -> t-pose -> posed via per-joint transforms
-        A_vitruvian2pose = s_out.A @ fixed.inv_A_t2vitruvian
+        A_vitruvian2pose = jnp.matmul(s_out.A, fixed.inv_A_t2vitruvian,
+                                      precision=_HI)
         deformed_xyz, lbs_T, _ = lbs_extra(
             A_vitruvian2pose, gs_xyz, canon_out["posedirs"],
             canon_out["lbs_weights"], s_out.full_pose,
@@ -335,12 +340,13 @@ def human_forward(
         curr_offsets = s_out.shape_offsets + s_out.pose_offsets
         T_v2t = fixed.inv_T_t2vitruvian
         T_v2t = T_v2t.at[..., :3, 3].add(fixed.canonical_offsets - curr_offsets)
-        T_vitruvian2pose = s_out.T @ T_v2t
+        T_vitruvian2pose = jnp.matmul(s_out.T, T_v2t, precision=_HI)
         _, lbs_T = smpl_lbsmap_top_k(
             fixed.smpl.lbs_weights, T_vitruvian2pose, gs_xyz,
             fixed.vitruvian_verts, K=6)
         hom = jnp.concatenate([gs_xyz, jnp.ones_like(gs_xyz[:, :1])], -1)
-        deformed_xyz = jnp.einsum("nab,nb->na", lbs_T, hom)[:, :3]
+        deformed_xyz = jnp.einsum("nab,nb->na", lbs_T, hom,
+                                  precision=_HI)[:, :3]
 
     if smpl_scale is not None:
         deformed_xyz = deformed_xyz * smpl_scale
@@ -348,17 +354,20 @@ def human_forward(
     if transl is not None:
         deformed_xyz = deformed_xyz + transl[None]
 
-    deformed_rotmat = lbs_T[:, :3, :3] @ gs_rotmat
+    deformed_rotmat = jnp.matmul(lbs_T[:, :3, :3], gs_rotmat,
+                                 precision=_HI)
     deformed_rotq = matrix_to_quat(deformed_rotmat)
 
     if ext_tfs is not None:
         tr, rotmat, sc = ext_tfs
         deformed_xyz = tr[None] + sc * jnp.einsum("ab,nb->na", rotmat,
-                                                  deformed_xyz)
+                                                  deformed_xyz,
+                                                  precision=_HI)
         gs_scales = sc * gs_scales
         rotq = matrix_to_quat(rotmat)
         deformed_rotq = quat_multiply(rotq[None], deformed_rotq)
-        deformed_rotmat = jnp.einsum("ab,nbc->nac", rotmat, deformed_rotmat)
+        deformed_rotmat = jnp.einsum("ab,nbc->nac", rotmat,
+                                     deformed_rotmat, precision=_HI)
 
     normals = jnp.zeros_like(gs_xyz).at[:, 2].set(1.0)
     return {

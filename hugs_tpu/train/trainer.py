@@ -242,9 +242,11 @@ class GaussianTrainer:
                       f"at iter {t_iter} (budget={self._ibudget})")
 
             if t_iter % 10 == 0:
-                log.append({"iter": t_iter,
-                            "loss": float(aux["loss"]),
-                            "elapsed_s": time.time() - t_start})
+                rec = {"iter": t_iter,
+                       "loss": float(aux["loss"]),
+                       "elapsed_s": time.time() - t_start}
+                log.append(rec)
+                self._log_jsonl(rec)
                 if bool(aux.get("overflowed", False)) \
                         and self._ibudget_fixed:
                     print(f"WARNING: tile-instance budget overflow at "
@@ -388,10 +390,22 @@ class GaussianTrainer:
             self._maybe_densify_human(t_iter, aux)
             self._maybe_densify_scene(t_iter)
             if t_iter % 10 == 0:
-                log.append({"iter": t_iter, "loss": float(aux["loss"]),
-                            "elapsed_s": time.time() - t_start})
+                rec = {"iter": t_iter, "loss": float(aux["loss"]),
+                       "elapsed_s": time.time() - t_start}
+                log.append(rec)
+                self._log_jsonl(rec)
             self._periodic(t_iter, aux, datas[0])
         return log
+
+
+    def _log_jsonl(self, rec: dict):
+        """Append one structured metrics record to logdir/metrics.jsonl
+        (crash-safe streaming observability; SURVEY §5 'structured jsonl
+        metrics' — the reference only console-logs via loguru/tqdm)."""
+        if not self.cfg.logdir:
+            return
+        with open(os.path.join(self.cfg.logdir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     def _maybe_densify_scene(self, t_iter):
         cfg = self.cfg
@@ -545,6 +559,7 @@ class GaussianTrainer:
 
         out = {k: float(np.mean(v)) for k, v in metrics.items() if v}
         self.eval_metrics[iter_s] = out
+        self._log_jsonl({"eval": iter_s, **out})
         if cfg.logdir:
             os.makedirs(f"{cfg.logdir}/val", exist_ok=True)
             with open(f"{cfg.logdir}/val/eval_{iter_s}.json", "w") as f:

@@ -209,6 +209,30 @@ def main():
     save_png(np.asarray(img), os.path.join(ev, "human_fit_final.png"))
     save_png(np.asarray(fr["rgb"]), os.path.join(ev, "human_gt.png"))
 
+    # ---- novel-pose animation strip (the animate/AMASS-mocap analog:
+    # drive the trained avatar through poses at phases the training set
+    # never contained; reference anim loop gs_trainer.py:539-586) ----
+    n_anim = 8
+    strip = []
+    cam0 = frames[0]["camera"]
+    for a in range(n_anim):
+        # phase offset 0.5/n_anim lands between every training phase
+        pose, orient = gt_poses(a + 0.5, n_anim)
+        oo = hgs.human_forward(tstate.params, tstate.state, fixed, cfg,
+                               global_orient=jnp.asarray(orient),
+                               body_pose=jnp.asarray(pose), betas=betas,
+                               transl=jnp.zeros(3),
+                               smpl_scale=jnp.float32(1.0))
+        im = render(oo["xyz"], oo["scales"], oo["rotq"], oo["opacity"],
+                    oo["shs"], cam0, W, H, bg=jnp.zeros(3),
+                    alive=oo["alive"],
+                    active_sh_degree=oo["active_sh_degree"],
+                    instance_budget=BUDGET, backend="pallas",
+                    tile=32)["render"]
+        strip.append(np.asarray(im))
+    save_png(np.concatenate(strip, axis=2),
+             os.path.join(ev, "human_anim_strip.png"))
+
 
 if __name__ == "__main__":
     main()

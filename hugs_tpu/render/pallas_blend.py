@@ -46,7 +46,7 @@ render/oracle.py — all three backends agree to fp tolerance.
 from __future__ import annotations
 
 import functools
-
+import os
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +59,122 @@ from hugs_tpu.render.tiles import TileBins, TILE, tile_grid
 
 CHUNK = 128
 N_FEAT = 16
+
+# --- MXU alpha-quadratic mode ------------------------------------------
+# Evaluate the per-(pixel, instance) Gaussian exponent as ONE basis
+# matmul instead of ~7 (P, CHUNK) VPU passes: power(u, v) is a degree-2
+# polynomial in the pixel coords, so power = basis^T @ coef with basis
+# rows [1, u', v', u'^2, v'^2, u'v'] over tile-local pixel coords
+# RECENTERED to a per-instance grid point (spacing _GRID_SP), and coef a
+# per-instance 6-vector of conic/mean algebra ((1, CHUNK) row math).
+# Recentering bounds the cancellation between the matmul's partial sums:
+# with spacing 8 the basis terms at any pixel that can still pass the
+# 1/255 alpha cutoff are <= ~150, so the f32-accumulation error in power
+# is ~1e-5 worst-case (vs the exact-VPU path's 0) — the same order as
+# the CUDA rasterizer's own fast-math exp/fmaf error vs an f64 oracle.
+# The basis is EXACT as a 2-term bf16 split (integer entries < 2^10);
+# the f32 coefficients use a 3-term split; the bl@c3 cross term (~2^-27
+# relative) is dropped -> 5 MXU passes, K = 6 * (tw/8) * (th/8).
+# The radius cutoff stays on the VPU (exact oracle tie behavior), and
+# the vestigial `power <= 0` guard (true power is <= 0 for the
+# blur-floored PD conic; the oracle keeps power == +0.0 too) widens to
+# `power <= _POW_EPS` so matmul noise at near-mean pixels cannot drop a
+# full-opacity contribution.
+#
+# MEASURED (v5e, 50k gauss @ 960x540 bench, same chip minutes apart):
+# 25.3 Mpx/s with the matmul vs 27.2 Mpx/s exact-VPU — a ~7% LOSS.
+# The 5 K<=128 MXU passes + the serial power->exp dependency (the MXU
+# result must land before the VPU's exp can start, and Mosaic does not
+# software-pipeline across the chunk walk's DMA waits) cost more than
+# the ~6 (P, CHUNK) VPU passes they remove. Default OFF; kept (with
+# both-mode parity tests) as the measured closure of the last
+# single-chip lever from ROUND_NOTES — the blend really is at the v5e
+# VPU roofline in this formulation.
+_GRID_SP = 8
+_POW_EPS = 1e-4
+POWER_MXU = os.environ.get("HUGS_POWER_MXU", "0") != "0"
+
+
+def _grid_dims(tile):
+    tw, th = tile if isinstance(tile, tuple) else (tile, tile)
+    if tw % _GRID_SP or th % _GRID_SP:
+        return None
+    return tw // _GRID_SP, th // _GRID_SP
+
+
+def _grid_basis(tile):
+    """Recentered quadratic pixel basis, (K, P) bf16 hi/lo pair.
+
+    Row 6*g + s, for grid point g = gy * ngx + gx at tile-local center
+    (8*gx + 4, 8*gy + 4), holds basis s of [1, u', v', u'^2, v'^2,
+    u'v'] with u' = u - cx (v' likewise) over the tile's row-major
+    pixels. Every entry is an integer of magnitude < 2^10, so hi + lo
+    reconstructs it EXACTLY (two 8-bit-mantissa terms cover 16 bits).
+    Loop-invariant: built once per kernel invocation.
+    """
+    tw, th = tile if isinstance(tile, tuple) else (tile, tile)
+    ngx, ngy = _grid_dims(tile)
+    P = tw * th
+    K = -(-6 * ngx * ngy // 32) * 32     # pad rows to the bf16 sublane tile
+    r = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
+    p = jax.lax.broadcasted_iota(jnp.int32, (K, P), 1)
+    g = r // 6
+    sub = r - 6 * g
+    gx = g % ngx
+    gy = g // ngx
+    u = ((p % tw) - (gx * _GRID_SP + _GRID_SP // 2)).astype(jnp.float32)
+    v = ((p // tw) - (gy * _GRID_SP + _GRID_SP // 2)).astype(jnp.float32)
+    val = jnp.where(sub == 0, 1.0,
+          jnp.where(sub == 1, u,
+          jnp.where(sub == 2, v,
+          jnp.where(sub == 3, u * u,
+          jnp.where(sub == 4, v * v, u * v)))))
+    val = jnp.where(g < ngx * ngy, val, 0.0)
+    hi = val.astype(jnp.bfloat16)
+    lo = (val - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _power_mxu(chunk, basis, tx0, ty0, tile):
+    """Gaussian exponent (P, CHUNK) via the recentered basis matmul."""
+    bh, bl = basis
+    ngx, ngy = _grid_dims(tile)
+    K = bh.shape[0]
+    mx = chunk[F_MX, :][None, :]
+    my = chunk[F_MY, :][None, :]
+    ca = chunk[F_CA, :][None, :]
+    cb = chunk[F_CB, :][None, :]
+    cc = chunk[F_CC, :][None, :]
+    mxl = mx - tx0                                  # tile-local mean
+    myl = my - ty0
+    gx = jnp.clip(jnp.floor(mxl * (1.0 / _GRID_SP)), 0, ngx - 1)
+    gy = jnp.clip(jnp.floor(myl * (1.0 / _GRID_SP)), 0, ngy - 1)
+    gi = (gy * ngx + gx).astype(jnp.int32)          # (1, CHUNK)
+    rx = mxl - (gx * _GRID_SP + _GRID_SP // 2)      # mean - grid point
+    ry = myl - (gy * _GRID_SP + _GRID_SP // 2)
+    # power(u', v') = -0.5 ca (rx-u')^2 - 0.5 cc (ry-v')^2
+    #                 - cb (rx-u')(ry-v'), expanded in the basis
+    a0 = -0.5 * (ca * rx * rx + cc * ry * ry) - cb * rx * ry
+    bu = ca * rx + cb * ry
+    bv = cc * ry + cb * rx
+    r = jax.lax.broadcasted_iota(jnp.int32, (K, CHUNK), 0)
+    g = r // 6
+    sub = r - 6 * g
+    cof = jnp.where(sub == 0, a0,
+          jnp.where(sub == 1, bu,
+          jnp.where(sub == 2, bv,
+          jnp.where(sub == 3, -0.5 * ca,
+          jnp.where(sub == 4, -0.5 * cc, -cb)))))
+    cof = jnp.where(g == gi, cof, 0.0)              # (K, CHUNK)
+    c1 = cof.astype(jnp.bfloat16)
+    rem = cof - c1.astype(jnp.float32)
+    c2 = rem.astype(jnp.bfloat16)
+    c3 = (rem - c2.astype(jnp.float32)).astype(jnp.bfloat16)
+    dd = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (dd(bh, c1) + dd(bh, c2) + dd(bh, c3)
+            + dd(bl, c1) + dd(bl, c2))              # (P, CHUNK)
 # feature row indices: rgb FIRST so the fwd color matmul can take the
 # 8-sublane-aligned chunk[0:8] slice directly
 F_R, F_G, F_B, F_OP, F_MX, F_MY, F_CA, F_CB, F_CC, F_RAD = range(10)
@@ -149,32 +265,39 @@ def _moment_basis(tile):
     return b.astype(jnp.bfloat16)
 
 
-def _chunk_alpha(chunk, valid, px, py):
+def _chunk_alpha(chunk, valid, px, py, basis=None, tx0=None, ty0=None,
+                 tile=None):
     """alpha (P, CHUNK) for one instance chunk.
 
     chunk: (N_FEAT, CHUNK) feature rows; valid: (1, CHUNK) mask;
     px, py: (P, 1). Exactly the oracle's gaussian_alpha semantics.
-    Also returns the quadratic subexpressions (dx, dy, dx2, dy2, dxy,
-    power) so the backward reuses them instead of re-multiplying.
+    With `basis` (POWER_MXU mode) the exponent rides the recentered
+    basis matmul; the radius cutoff and the alpha/255 cutoff keep their
+    exact-VPU forms either way (oracle tie behavior for the radius, and
+    the exp damps the ~1e-5 matmul noise everywhere it could matter —
+    see the POWER_MXU block comment).
     """
     mx = chunk[F_MX, :][None, :]
     my = chunk[F_MY, :][None, :]
-    ca = chunk[F_CA, :][None, :]
-    cb = chunk[F_CB, :][None, :]
-    cc = chunk[F_CC, :][None, :]
     op = chunk[F_OP, :][None, :]
     rad = chunk[F_RAD, :][None, :]
 
     dx = mx - px                        # (P, CHUNK)
     dy = my - py
-    dx2 = dx * dx
-    dy2 = dy * dy
-    dxy = dx * dy
-    power = -0.5 * (ca * dx2 + cc * dy2) - cb * dxy
+    dist2 = dx * dx + dy * dy
+    if basis is None:
+        ca = chunk[F_CA, :][None, :]
+        cb = chunk[F_CB, :][None, :]
+        cc = chunk[F_CC, :][None, :]
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * (dx * dy)
+        pow_ok = power <= 0.0
+    else:
+        power = _power_mxu(chunk, basis, tx0, ty0, tile)
+        pow_ok = power <= _POW_EPS
     alpha = jnp.minimum(MAX_ALPHA, op * jnp.exp(jnp.minimum(power, 0.0)))
-    keep = (power <= 0.0) & (alpha >= MIN_ALPHA) \
-        & (dx2 + dy2 <= rad * rad) & (valid > 0)
-    return jnp.where(keep, alpha, 0.0), dx, dy, dx2, dy2, dxy, power
+    keep = pow_ok & (alpha >= MIN_ALPHA) \
+        & (dist2 <= rad * rad) & (valid > 0)
+    return jnp.where(keep, alpha, 0.0)
 
 
 TPC = 8  # tiles (subtiles) per grid cell — amortizes per-cell pipeline
@@ -224,10 +347,11 @@ def _fwd_kernel(starts_ref, counts_ref,          # scalar prefetch (SMEM)
                 nch_out,                         # (T_pad,) whole-array SMEM:
                 #                                  chunks done per subtile
                 acc_ref, logt_ref, buf, sems,    # scratch
-                *, nx, tile, tpc, width, height):
+                *, nx, tile, tpc, width, height, power_mxu):
     c = pl.program_id(0)
     tw_, th_ = tile if isinstance(tile, tuple) else (tile, tile)
     P = tw_ * th_
+    basis = _grid_basis(tile) if power_mxu else None
     t0 = c * tpc
     counts, nch, cum, total = _cell_tables(starts_ref, counts_ref, t0, tpc)
     starts = [starts_ref[t0 + i] for i in range(tpc)]
@@ -273,6 +397,9 @@ def _fwd_kernel(starts_ref, counts_ref,          # scalar prefetch (SMEM)
 
         t = t0 + s
         px, py = _tile_pixels(t, nx, tile)
+        ty_i = t // nx
+        tx0 = ((t - ty_i * nx) * tw_).astype(jnp.float32)
+        ty0 = (ty_i * th_).astype(jnp.float32)
 
         @pl.when(ci == 0)
         def _():
@@ -287,7 +414,7 @@ def _fwd_kernel(starts_ref, counts_ref,          # scalar prefetch (SMEM)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         valid = (lane < (count_s - ci * CHUNK)).astype(jnp.float32)
 
-        alpha = _chunk_alpha(chunk, valid, px, py)[0]
+        alpha = _chunk_alpha(chunk, valid, px, py, basis, tx0, ty0, tile)
         la = jnp.log1p(-alpha)                        # (P, CHUNK)
         pre = _split_mm(la, _tri_excl()) + log_t
         trans = jnp.exp(jnp.maximum(pre, _LOG_EPS))
@@ -354,10 +481,11 @@ def _bwd_kernel(starts_ref, counts_ref,          # counts are EFFECTIVE:
                 ginst_hbm,                       # (N_FEAT, I) output in HBM
                 buf, gbuf, sems, gsems,
                 g_scr, ltf_scr, sufs0_scr,
-                *, nx, tile, tpc):
+                *, nx, tile, tpc, power_mxu):
     c = pl.program_id(0)
     tw_, th_ = tile if isinstance(tile, tuple) else (tile, tile)
     P = tw_ * th_
+    basis = _grid_basis(tile) if power_mxu else None
     t0 = c * tpc
     counts, nch, cum, total = _cell_tables(starts_ref, counts_ref, t0, tpc)
     starts = [starts_ref[t0 + i] for i in range(tpc)]
@@ -441,11 +569,13 @@ def _bwd_kernel(starts_ref, counts_ref,          # counts are EFFECTIVE:
 
         t = t0 + s
         px, py = _tile_pixels(t, nx, tile)
+        ty_i = t // nx
+        tx0 = ((t - ty_i * nx) * tw_).astype(jnp.float32)
+        ty0 = (ty_i * th_).astype(jnp.float32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         valid = (lane < (count_s - ci * CHUNK)).astype(jnp.float32)
 
-        alpha, dx, dy, dx2, dy2, dxy, power = _chunk_alpha(
-            chunk, valid, px, py)
+        alpha = _chunk_alpha(chunk, valid, px, py, basis, tx0, ty0, tile)
         live = alpha > 0.0
         la = jnp.log1p(-alpha)
 
@@ -605,21 +735,32 @@ def _pad_cells(starts, counts, T):
     return starts, counts, cells
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _blend_pallas_core(inst, starts, counts, total, bg, nx, ny, tile,
-                       width, height):
+                       width, height, power_mxu=None):
     """Returns ((T_pad, 8, P), (cells, TPC) int32): rows 0-2 composited
     rgb, row 3 final logT; plus per-subtile processed-chunk counts."""
+    if power_mxu is None:
+        power_mxu = POWER_MXU
+    power_mxu = bool(power_mxu) and _grid_dims(tile) is not None
+    return _blend_core_vjp(inst, starts, counts, total, bg, nx, ny, tile,
+                           width, height, power_mxu)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _blend_core_vjp(inst, starts, counts, total, bg, nx, ny, tile,
+                    width, height, power_mxu):
     return _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile,
-                           width, height)
+                           width, height, power_mxu)
 
 
-def _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile, width, height):
+def _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile, width, height,
+                    power_mxu):
     tw, th = tile if isinstance(tile, tuple) else (tile, tile)
     P = tw * th
     starts, counts, cells = _pad_cells(starts, counts, nx * ny)
     kernel = functools.partial(_fwd_kernel, nx=nx, tile=tile, tpc=TPC,
-                               width=width, height=height)
+                               width=width, height=height,
+                               power_mxu=power_mxu)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cells,),
@@ -654,13 +795,13 @@ def _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile, width, height):
 
 
 def _blend_core_fwd(inst, starts, counts, total, bg, nx, ny, tile,
-                    width, height):
+                    width, height, power_mxu):
     out, nchunks = _blend_fwd_call(inst, starts, counts, bg, nx, ny, tile,
-                                   width, height)
+                                   width, height, power_mxu)
     return (out, nchunks), (inst, starts, counts, total, bg, out, nchunks)
 
 
-def _blend_core_bwd(nx, ny, tile, width, height, res, g_outs):
+def _blend_core_bwd(nx, ny, tile, width, height, power_mxu, res, g_outs):
     inst, starts, counts, total, bg, fwd_out, nchunks = res
     g_out = g_outs[0]                  # cotangent for the int32 counts
     #                                    output is symbolic-zero; ignore
@@ -670,7 +811,8 @@ def _blend_core_bwd(nx, ny, tile, width, height, res, g_outs):
     # the backward only needs the chunks the forward actually processed:
     # cap each subtile's instance count at done_chunks * CHUNK
     counts_eff = jnp.minimum(counts, nchunks * CHUNK)
-    kernel = functools.partial(_bwd_kernel, nx=nx, tile=tile, tpc=TPC)
+    kernel = functools.partial(_bwd_kernel, nx=nx, tile=tile, tpc=TPC,
+                               power_mxu=power_mxu)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cells,),
@@ -724,21 +866,27 @@ def _blend_core_bwd(nx, ny, tile, width, height, res, g_outs):
     return ginst, None, None, None, g_bg
 
 
-_blend_pallas_core.defvjp(_blend_core_fwd, _blend_core_bwd)
+_blend_core_vjp.defvjp(_blend_core_fwd, _blend_core_bwd)
 
 
 def blend_tiles_pallas(pg: ProjectedGaussians, bins: TileBins, width: int,
                        height: int, bg: jnp.ndarray,
-                       tile: int = TILE) -> jnp.ndarray:
+                       tile: int = TILE,
+                       power_mxu: bool | None = None) -> jnp.ndarray:
     """Pallas-kernel compositing. Returns (3, H, W) in [0, 1].
 
     Differentiable end to end: the instance pack (gather) and the final
     unpack are XLA ops whose AD transposes are scatter-adds; the blend
-    itself uses the custom-VJP kernel pair.
+    itself uses the custom-VJP kernel pair. power_mxu (default: module
+    POWER_MXU, env HUGS_POWER_MXU) selects the MXU alpha-quadratic; it
+    needs tile dims divisible by the recenter grid spacing.
     """
     nx, ny = tile_grid(width, height, tile)
     tw, th = tile if isinstance(tile, tuple) else (tile, tile)
     tile = (tw, th)   # normalized (hashable) static arg for the kernels
+    if power_mxu is None:
+        power_mxu = POWER_MXU
+    power_mxu = bool(power_mxu) and _grid_dims(tile) is not None
     T = nx * ny
 
     # pad width to a CHUNK multiple for clean memref tiling (segments
@@ -750,7 +898,8 @@ def blend_tiles_pallas(pg: ProjectedGaussians, bins: TileBins, width: int,
     total = bins.aligned_total.astype(jnp.int32)
 
     out, _ = _blend_pallas_core(inst, bins.starts, counts, total, bg,
-                                nx, ny, tile, width, height)  # (T_pad,8,P)
+                                nx, ny, tile, width, height,
+                                power_mxu)                    # (T_pad,8,P)
     img = out[:T, :3, :].reshape(ny, nx, 3, th, tw)
     img = img.transpose(2, 0, 3, 1, 4).reshape(3, ny * th, nx * tw)
     return jnp.clip(img[:, :height, :width], 0.0, 1.0)

@@ -48,6 +48,7 @@ def render(
     instance_budget: int | None = None,
     tile_cap: int = 1024,
     tile: int | None = None,
+    power_mxu: bool | None = None,
 ) -> dict[str, Any]:
     """Render one view. Returns dict with 'render' (3, H, W), 'radii' (N,),
     'visibility_filter' (N,) bool, 'overflowed' (scalar bool diagnostics).
@@ -76,7 +77,8 @@ def render(
         n_instances = bins.n_instances  # true count, even past the budget
         if backend == "pallas":
             from hugs_tpu.render.pallas_blend import blend_tiles_pallas
-            img = blend_tiles_pallas(pg, bins, width, height, bg, tile)
+            img = blend_tiles_pallas(pg, bins, width, height, bg, tile,
+                                     power_mxu=power_mxu)
             overflowed = bins.overflowed
         else:
             from hugs_tpu.render.blend import tile_overflow

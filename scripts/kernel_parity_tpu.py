@@ -38,7 +38,8 @@ def make_scene(n, seed, spread=1.0, z_span=2.0, op_hi=False):
     return means, scales, rotq, opacity, shs
 
 
-def run_case(name, n, seed, W, H, tile, budget, op_hi=False, spread=0.35):
+def run_case(name, n, seed, W, H, tile, budget, op_hi=False, spread=0.35,
+             power_mxu=False):
     from hugs_tpu.render import render, make_camera
     from hugs_tpu.render.project import project_gaussians
     from hugs_tpu.render.tiles import bin_gaussians
@@ -71,7 +72,7 @@ def run_case(name, n, seed, W, H, tile, budget, op_hi=False, spread=0.35):
 
     def loss(backend, m, s, q, o, c):
         img = render(m, s, q, o, c, backend=backend, tile_cap=cap,
-                     **kw)["render"]
+                     power_mxu=power_mxu, **kw)["render"]
         return jnp.mean(jnp.abs(img - target)), img
 
     vg = jax.value_and_grad(lambda be, *a: loss(be, *a)[0], argnums=(1, 2, 3, 4, 5), has_aux=False)
@@ -90,26 +91,30 @@ def run_case(name, n, seed, W, H, tile, budget, op_hi=False, spread=0.35):
         den = float(jnp.max(jnp.abs(a)) + 1e-12)
         d_grad[pname] = num / den
     case = {"case": name, "W": W, "H": H, "tile": tile, "n": n,
+            "power_mxu": power_mxu,
             **stats, "max_abs_dimg": d_img, "rel_dgrad": d_grad}
     print(json.dumps(case), flush=True)
     return case
 
 
 def main():
-    cases = [
-        # >2 chunks/tile + empty subtiles: dense cluster in one corner
-        run_case("multichunk_empty", n=3000, seed=0, W=128, H=96,
-                 tile=32, budget=65536, spread=0.25),
-        # saturation early-out: near-opaque overlapping splats
-        run_case("saturating", n=2000, seed=1, W=128, H=96,
-                 tile=32, budget=65536, op_hi=True, spread=0.3),
-        # tile=16 path (P=256)
-        run_case("tile16", n=1500, seed=2, W=96, H=64,
-                 tile=16, budget=65536, spread=0.4),
-        # budget-boundary: budget barely fits the expansion
-        run_case("tight_budget", n=800, seed=3, W=96, H=64,
-                 tile=32, budget=4096, spread=0.6),
-    ]
+    cases = []
+    for pmx in (False, True):   # exact-VPU path and MXU alpha-quadratic
+        cases += [
+            # >2 chunks/tile + empty subtiles: dense cluster in one corner
+            run_case("multichunk_empty", n=3000, seed=0, W=128, H=96,
+                     tile=32, budget=65536, spread=0.25, power_mxu=pmx),
+            # saturation early-out: near-opaque overlapping splats
+            run_case("saturating", n=2000, seed=1, W=128, H=96,
+                     tile=32, budget=65536, op_hi=True, spread=0.3,
+                     power_mxu=pmx),
+            # tile=16 path (P=256; MXU mode: padded K=24->32 basis)
+            run_case("tile16", n=1500, seed=2, W=96, H=64,
+                     tile=16, budget=65536, spread=0.4, power_mxu=pmx),
+            # budget-boundary: budget barely fits the expansion
+            run_case("tight_budget", n=800, seed=3, W=96, H=64,
+                     tile=32, budget=4096, spread=0.6, power_mxu=pmx),
+        ]
     ok = all(c["max_abs_dimg"] < 5e-5 and
              max(c["rel_dgrad"].values()) < 5e-4 for c in cases)
     out = {"device": jax.devices()[0].platform, "pass": ok, "cases": cases}

@@ -24,7 +24,8 @@ def make_scene(n=300, seed=0):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
-def test_pallas_forward_matches_tiled(seed):
+@pytest.mark.parametrize("power_mxu", [False, True])
+def test_pallas_forward_matches_tiled(seed, power_mxu):
     means, scales, rotq, opacity, shs, cam = make_scene(seed=seed)
     bg = jnp.array([0.2, 0.3, 0.4])
     kw = dict(camera=cam, width=W, height=H, bg=bg, active_sh_degree=3,
@@ -32,7 +33,7 @@ def test_pallas_forward_matches_tiled(seed):
     img_t = render(means, scales, rotq, opacity, shs, backend="tiled",
                    tile_cap=512, **kw)["render"]
     img_p = render(means, scales, rotq, opacity, shs, backend="pallas",
-                   **kw)["render"]
+                   power_mxu=power_mxu, **kw)["render"]
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_t),
                                atol=2e-5)
 
@@ -45,8 +46,10 @@ def test_pallas_gradients_match_tiled():
               instance_budget=8192)
 
     def loss(backend, m, s, q, o, c):
+        # power_mxu=False: this test asserts the EXACT-path three-backend
+        # invariant at the tight bar (the MXU mode has its own test below)
         img = render(m, s, q, o, c, backend=backend, tile_cap=512,
-                     **kw)["render"]
+                     power_mxu=False, **kw)["render"]
         return jnp.mean((img - target) ** 2)
 
     gt = jax.grad(lambda *a: loss("tiled", *a), argnums=(0, 1, 2, 3, 4))(
@@ -60,6 +63,36 @@ def test_pallas_gradients_match_tiled():
             err_msg=name)
 
 
+def test_pallas_gradients_mxu_mode():
+    """POWER_MXU parity contract: the recentered-basis matmul evaluates
+    the exponent with ~1e-5 worst-case absolute error (pallas_blend.py
+    POWER_MXU block comment), so its gradients match the tiled backend
+    to ~power-error x gradient-scale — the same accuracy the exact path
+    itself has against the dense oracle (both are ~3e-4 abs at grad
+    scale ~20 on this scene)."""
+    means, scales, rotq, opacity, shs, cam = make_scene(n=200)
+    bg = jnp.array([0.5, 0.5, 0.5])
+    target = jax.random.uniform(jax.random.PRNGKey(7), (3, H, W))
+    kw = dict(camera=cam, width=W, height=H, bg=bg, active_sh_degree=3,
+              instance_budget=8192)
+
+    def loss(backend, pmx, m, s, q, o, c):
+        img = render(m, s, q, o, c, backend=backend, tile_cap=512,
+                     power_mxu=pmx, **kw)["render"]
+        return jnp.mean((img - target) ** 2)
+
+    gt = jax.grad(lambda *a: loss("tiled", False, *a),
+                  argnums=(0, 1, 2, 3, 4))(means, scales, rotq, opacity, shs)
+    gp = jax.grad(lambda *a: loss("pallas", True, *a),
+                  argnums=(0, 1, 2, 3, 4))(means, scales, rotq, opacity, shs)
+    for name, a, b in zip(["means", "scales", "rotq", "opacity", "shs"],
+                          gt, gp):
+        scale = float(np.abs(np.asarray(a)).max())
+        tol = 1e-4 + 1e-4 * scale
+        err = float(np.abs(np.asarray(b) - np.asarray(a)).max())
+        assert err <= tol, f"{name}: {err:.3e} > {tol:.3e}"
+
+
 def test_pallas_bg_gradient():
     means, scales, rotq, opacity, shs, cam = make_scene(n=50)
     target = jnp.zeros((3, H, W))
@@ -67,7 +100,8 @@ def test_pallas_bg_gradient():
     def loss(backend, bg):
         img = render(means, scales, rotq, opacity, shs, camera=cam,
                      width=W, height=H, bg=bg, backend=backend,
-                     tile_cap=256, instance_budget=4096)["render"]
+                     tile_cap=256, instance_budget=4096,
+                     power_mxu=False)["render"]
         return jnp.mean((img - target) ** 2)
 
     g_t = jax.grad(lambda b: loss("tiled", b))(jnp.array([0.4, 0.5, 0.6]))
@@ -109,9 +143,12 @@ def test_pallas_saturated_early_termination():
     target = jax.random.uniform(jax.random.PRNGKey(5), (3, H, W))
 
     def loss(backend, m, o):
+        # exact path for the tight oracle comparison; the early-out check
+        # below runs _blend_pallas_core at the module default (MXU mode)
         img = render(m, scales, rotq, o, shs, camera=cam, width=W,
                      height=H, bg=bg, active_sh_degree=2, backend=backend,
-                     tile_cap=1024, instance_budget=16384)["render"]
+                     tile_cap=1024, instance_budget=16384,
+                     power_mxu=False)["render"]
         return jnp.mean((img - target) ** 2), img
 
     (lo, io), go = jax.value_and_grad(
@@ -164,7 +201,8 @@ def test_pallas_many_chunks_and_empty_tiles():
     def loss(backend, m, o, c):
         img = render(m, scales, rotq, o, c, camera=cam, width=W, height=H,
                      bg=bg, active_sh_degree=1, backend=backend,
-                     tile_cap=1024, instance_budget=16384)["render"]
+                     tile_cap=1024, instance_budget=16384,
+                     power_mxu=False)["render"]
         return jnp.mean((img - target) ** 2)
 
     gt = jax.grad(lambda *a: loss("tiled", *a), argnums=(0, 1, 2))(
@@ -176,8 +214,10 @@ def test_pallas_many_chunks_and_empty_tiles():
                                    atol=1e-6, rtol=1e-4, err_msg=name)
 
 
-def test_pallas_tile16():
-    """tile=16 path (P=256): non-default tile size end to end."""
+@pytest.mark.parametrize("power_mxu", [False, True])
+def test_pallas_tile16(power_mxu):
+    """tile=16 path (P=256): non-default tile size end to end (in MXU
+    mode this also covers the K=24 -> 32 padded basis rows)."""
     means, scales, rotq, opacity, shs, cam = make_scene(n=150, seed=5)
     bg = jnp.array([0.3, 0.3, 0.3])
     kw = dict(camera=cam, width=W, height=H, bg=bg, active_sh_degree=3,
@@ -185,7 +225,7 @@ def test_pallas_tile16():
     img_t = render(means, scales, rotq, opacity, shs, backend="tiled",
                    tile_cap=512, **kw)["render"]
     img_p = render(means, scales, rotq, opacity, shs, backend="pallas",
-                   **kw)["render"]
+                   power_mxu=power_mxu, **kw)["render"]
     # 2e-5: the pallas color accumulate runs bf16-split matmuls
     # (~4e-6 relative per product, pallas_blend._split_mm3), so its
     # noise floor vs the f32 tiled backend sits just above 1e-5.

@@ -90,6 +90,17 @@ N_FEAT = 16
 # both-mode parity tests) as the measured closure of the last
 # single-chip lever from ROUND_NOTES — the blend really is at the v5e
 # VPU roofline in this formulation.
+#
+# OUT-OF-TILE CAVEAT: gx/gy are clipped to the tile's recenter grid, so
+# an instance whose mean lies OUTSIDE the tile (a large splat spilling
+# over from a neighbor) keeps a recenter residual rx/ry of up to the
+# cull radius, not <= _GRID_SP/2. The ~1e-5 worst-case power error
+# assumes recentered terms <= ~150; for far-out-of-tile, strongly
+# anisotropic splats the a0/bu partial-sum cancellation can exceed that
+# bound despite the 3-term coef split. Acceptable for the shipped
+# default-off mode (the alpha cutoff kills most such pixels anyway);
+# extending the grid one spacing beyond each tile edge would restore
+# the bound at +~50% K if the mode is ever promoted.
 _GRID_SP = 8
 _POW_EPS = 1e-4
 POWER_MXU = os.environ.get("HUGS_POWER_MXU", "0") != "0"
@@ -884,9 +895,15 @@ def blend_tiles_pallas(pg: ProjectedGaussians, bins: TileBins, width: int,
     nx, ny = tile_grid(width, height, tile)
     tw, th = tile if isinstance(tile, tuple) else (tile, tile)
     tile = (tw, th)   # normalized (hashable) static arg for the kernels
+    explicit = power_mxu is not None
     if power_mxu is None:
         power_mxu = POWER_MXU
-    power_mxu = bool(power_mxu) and _grid_dims(tile) is not None
+    if power_mxu and _grid_dims(tile) is None:
+        if explicit:
+            raise ValueError(
+                f"power_mxu=True requires tile dims divisible by "
+                f"{_GRID_SP}; got tile={tile}")
+        power_mxu = False        # env-default mode: fall back silently
     T = nx * ny
 
     # pad width to a CHUNK multiple for clean memref tiling (segments

@@ -184,7 +184,8 @@ def main():
     P = TILE * TILE
 
     fwd_out, nchunks = jax.jit(
-        lambda i, s, c: _blend_fwd_call(i, s, c, bg, nx, ny, TILE, W, H)
+        lambda i, s, c: _blend_fwd_call(i, s, c, bg, nx, ny, TILE, W, H,
+                                        False)
     )(inst, bins.starts, counts)
     g_out = jnp.ones_like(fwd_out)
 

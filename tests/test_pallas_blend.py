@@ -144,7 +144,7 @@ def test_pallas_saturated_early_termination():
 
     def loss(backend, m, o):
         # exact path for the tight oracle comparison; the early-out check
-        # below runs _blend_pallas_core at the module default (MXU mode)
+        # below runs _blend_pallas_core in BOTH power modes
         img = render(m, scales, rotq, o, shs, camera=cam, width=W,
                      height=H, bg=bg, active_sh_degree=2, backend=backend,
                      tile_cap=1024, instance_budget=16384,
@@ -173,12 +173,14 @@ def test_pallas_saturated_early_termination():
     inst = _pack_aligned(_gauss_feat(pg), bins.gauss_id,
                          (-(-I // CHUNK)) * CHUNK)
     counts = (bins.ends - bins.starts).astype(jnp.int32)
-    _, nchunks = _blend_pallas_core(
-        inst, bins.starts, counts, bins.aligned_total.astype(jnp.int32),
-        bg, 2, 2, 32, W, H)
     total_chunks = int(jnp.sum((counts + CHUNK - 1) // CHUNK))
-    assert int(jnp.sum(nchunks)) < total_chunks, \
-        "early termination never fired on a fully saturated scene"
+    for pm in (False, True):   # saturation-skip must fire in BOTH modes
+        _, nchunks = _blend_pallas_core(
+            inst, bins.starts, counts,
+            bins.aligned_total.astype(jnp.int32),
+            bg, 2, 2, 32, W, H, power_mxu=pm)
+        assert int(jnp.sum(nchunks)) < total_chunks, \
+            f"early termination never fired (power_mxu={pm})"
 
 
 def test_pallas_many_chunks_and_empty_tiles():

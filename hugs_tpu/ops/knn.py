@@ -1,4 +1,4 @@
-"""Brute-force k-nearest-neighbor search, pure JAX (MXU-friendly).
+"""Brute-force k-nearest-neighbor search, pure JAX, TPU-tuned.
 
 TPU-native replacement for the reference's CUDA kNN dependencies:
   - simple-knn `distCUDA2` (used once at scene init,
@@ -6,25 +6,44 @@ TPU-native replacement for the reference's CUDA kNN dependencies:
   - pytorch3d `knn_points` (LBS weight transfer,
     hugs/models/hugs_wo_trimlp.py:60,99) -> `knn`.
 
-Distances are computed as a single big matmul (||a-b||^2 = |a|^2 + |b|^2
-- 2 a.b) which XLA tiles onto the MXU; top-k via jax.lax.top_k. For the
-point-set sizes here (1e4-1e6 queries x ~1e5 refs) a chunked scan keeps the
-distance matrix in manageable blocks.
+Design (small k, the only case this framework hits): the (M, N) distance
+matrix is never materialized. For 3-dim points a matmul buys nothing
+(K=3 leaves the MXU idle) while forcing the full matrix through HBM
+(3.6 GB at the per-step LBS-transfer shape, 131k x 6.9k — measured
+HBM-bound at ~35 ms however the top-k is done). Instead distances are
+computed ELEMENTWISE in the numerically exact (a-b)^2 form and
+immediately min-reduced into per-128-lane-group minima — one XLA loop
+fusion, nothing hits HBM but the (M, N/128) group table. Each of the k
+extractions then argmins the group table, re-derives the winning
+128-wide segment's distances from raw coordinates (a gather of ONE
+group id per query; TPU gathers are index-bound so the 128x3 coord
+columns ride free), and updates that group's min. Ties keep the
+first-index rule (the global argmin lives in the first group attaining
+the global min). Measured on chip at the LBS-transfer shape: 75.0 ms
+(lax.top_k) -> 34.5 ms (k full-matrix sweeps, HBM-bound) -> 22.0 ms
+(fused sweep but coords on a trailing length-3 lane axis, ~40x VPU pad
+waste) -> 13.7 ms (this form).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
+_GRP = 128       # candidate-group width: one VPU lane tile
+_PAD = 1e18      # pad-ref coordinate: d = (q - 1e18)^2 ~ 1e36 dwarfs any
+#                  real distance but stays finite (inf pads would make
+#                  (inf - inf) NaNs in the elementwise form)
+
 
 def _pairwise_sq_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(M, 3) x (N, 3) -> (M, N) squared distances via matmul."""
+    """(M, 3) x (N, 3) -> (M, N) squared distances via matmul.
+
+    Kept for the k > 8 fallback. HIGHEST is load-bearing: |a|^2 + |b|^2
+    - 2ab is a catastrophic cancellation for NEAR pairs (the ones knn
+    returns); the TPU's default bf16 matmul error (~|a||b| 2^-8) swamps
+    true distances."""
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)
-    # HIGHEST is load-bearing: |a|^2 + |b|^2 - 2ab is a catastrophic
-    # cancellation for NEAR pairs (the ones knn returns); the TPU's
-    # default bf16 matmul error (~|a||b| 2^-8) swamps true distances,
-    # which corrupts create_from_pcd's init scales on hardware.
     d = a2 + b2.T - 2.0 * jnp.matmul(a, b.T,
                                      precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(d, 0.0)
@@ -36,14 +55,14 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
     Returns (sq_dists (M, k), indices (M, k)), ascending by distance.
     Queries are processed in chunks of `chunk` via lax.map to bound the
-    (chunk, N) distance-block memory.
+    per-block group-table memory.
     """
     m = query.shape[0]
-    # center the cloud first: distances are translation-invariant, and
-    # the expanded form loses all precision when |p|^2 >> nn-dist^2
-    # (f32 eps of |p|^2 bounds the resolvable distance; an off-origin
-    # cluster at |p|=5 with 2e-3 spacing is otherwise pure noise even
-    # at HIGHEST). Centering shrinks |p| to the cloud extent.
+    n = ref.shape[0]
+    # center the cloud: harmless for the (a-b)^2 form, load-bearing for
+    # the matmul fallback (the expanded form loses all precision when
+    # |p|^2 >> nn-dist^2; f32 eps of |p|^2 bounds the resolvable
+    # distance for an off-origin cluster).
     mu = jnp.mean(ref, axis=0, keepdims=True)
     query = query - mu
     ref = ref - mu
@@ -51,10 +70,55 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     q = jnp.pad(query, ((0, pad), (0, 0)))
     q = q.reshape(-1, chunk, 3)
 
+    n_grp = -(-n // _GRP)
+    refp = jnp.pad(ref, ((0, n_grp * _GRP - n), (0, 0)),
+                   constant_values=_PAD)
+    # keep the batch axis in LANES (CLAUDE.md): per-coordinate (Gn, 128)
+    # rows for the fused sweep — a trailing length-3 coord axis would
+    # pad 3 lanes to 128 (~40x VPU waste) — plus ONE lane-packed
+    # (Gn, 384) [x|y|z] table so each extraction costs a single
+    # C-index gather (TPU gathers are index-bound; columns ride free).
+    rgx, rgy, rgz = (refp[:, i].reshape(n_grp, _GRP) for i in range(3))
+    ref_cat = jnp.concatenate([rgx, rgy, rgz], axis=1)    # (Gn, 384)
+
+    def seg_dists(qc, gstar):
+        """Exact (C, 128) distances of each query to ITS argmin group."""
+        rc = ref_cat[gstar]                           # (C, 384) gather
+        dx = rc[:, :_GRP] - qc[:, 0:1]
+        dy = rc[:, _GRP:2 * _GRP] - qc[:, 1:2]
+        dz = rc[:, 2 * _GRP:] - qc[:, 2:3]
+        return dx * dx + dy * dy + dz * dz
+
     def one_chunk(qc):
-        d = _pairwise_sq_dist(qc, ref)
-        neg_d, idx = jax.lax.top_k(-d, k)
-        return -neg_d, idx
+        if k > 8:
+            d = _pairwise_sq_dist(qc, ref)
+            neg_d, idx = jax.lax.top_k(-d, k)
+            return -neg_d, idx
+        # fused group-min sweep: (C, Gn, 128) distances exist only
+        # inside the fusion; output is the (C, Gn) group-min table
+        dx = qc[:, 0][:, None, None] - rgx[None]
+        dy = qc[:, 1][:, None, None] - rgy[None]
+        dz = qc[:, 2][:, None, None] - rgz[None]
+        dg = jnp.min(dx * dx + dy * dy + dz * dz, axis=2)
+        lane_g = jnp.arange(_GRP, dtype=jnp.int32)[None, :]
+        cols_g = jnp.arange(n_grp, dtype=jnp.int32)[None, :]
+        ds, ids = [], []
+        for _ in range(k):
+            gstar = jnp.argmin(dg, axis=1).astype(jnp.int32)   # (C,)
+            seg = seg_dists(qc, gstar)                         # (C, 128)
+            # re-mask any PRIOR extraction from this same group (the
+            # segment is re-derived fresh each time)
+            for prev in ids:
+                hit = (prev // _GRP == gstar)[:, None] \
+                    & (lane_g == (prev % _GRP)[:, None])
+                seg = jnp.where(hit, jnp.inf, seg)
+            li = jnp.argmin(seg, axis=1).astype(jnp.int32)
+            ds.append(jnp.min(seg, axis=1))
+            ids.append(gstar * _GRP + li)
+            seg = jnp.where(lane_g == li[:, None], jnp.inf, seg)
+            dg = jnp.where(cols_g == gstar[:, None],
+                           jnp.min(seg, axis=1)[:, None], dg)
+        return jnp.stack(ds, axis=1), jnp.stack(ids, axis=1)
 
     dists, idxs = jax.lax.map(one_chunk, q)
     return dists.reshape(-1, k)[:m], idxs.reshape(-1, k)[:m]

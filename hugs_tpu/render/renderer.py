@@ -154,6 +154,16 @@ def render_human_scene(
         # (gs_trainer.py:316-342) — so drop the hook here.
         sep_kw = {k: v for k, v in render_kw.items()
                   if k != "mean2d_grad_hook"}
+        # Right-size the human-only pass's instance budget: binning/sort/
+        # pack cost scales with the STATIC budget, and the human set is a
+        # fraction of the merged one. Half the merged budget (32768-
+        # aligned) is ample in practice; overflow is surfaced below so
+        # the trainer's budget auto-growth reacts just like for the main
+        # pass (growing the merged budget grows this one with it).
+        if sep_kw.get("instance_budget"):
+            sep_kw["instance_budget"] = max(
+                1 << 16, (sep_kw["instance_budget"] // 2 + 32767)
+                // 32768 * 32768)
         hpkg = render(human_gs_out["xyz"], human_gs_out["scales"],
                       human_gs_out["rotq"], human_gs_out["opacity"],
                       human_gs_out["shs"], camera, width, height,
@@ -165,6 +175,12 @@ def render_human_scene(
         pkg["human_img"] = hpkg["render"]
         pkg["human_visibility_filter"] = hpkg["visibility_filter"]
         pkg["human_radii"] = hpkg["radii"]
+        # a dropped-instance humansep pass must trigger the same
+        # grow-and-retry as the main pass: 2x the human-pass count so
+        # the half-sized sep budget ends up large enough after growth
+        pkg["overflowed"] = pkg["overflowed"] | hpkg["overflowed"]
+        pkg["n_instances"] = jnp.maximum(pkg["n_instances"],
+                                         2 * hpkg["n_instances"])
 
     if render_mode == "human":
         pkg["human_visibility_filter"] = pkg["visibility_filter"]

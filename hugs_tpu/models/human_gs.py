@@ -299,10 +299,17 @@ def human_forward(
     dataset_idx: jnp.ndarray | int = 0,
     ext_tfs: tuple | None = None,
     canon_out: dict | None = None,
+    compute_gt_lbs: bool = True,
 ) -> dict[str, Any]:
     """Full posed forward -> renderer attribute dict. Pass `canon_out`
     (from canon_forward) to reuse cached canonical decode (the reference's
-    forward_test fast path, hugs_trimlp.py:240-394)."""
+    forward_test fast path, hugs_trimlp.py:240-394).
+
+    compute_gt_lbs: the kNN-transferred GT skinning weights exist only
+    for the LBS training loss (reference computes them under no_grad in
+    forward(), hugs_trimlp.py:477-489, and SKIPS them in forward_test).
+    Eval/animation/inference callers pass False and save the kNN
+    (~17 ms/frame at 131k capacity on chip)."""
     if canon_out is None:
         canon_out = canon_forward(params, state, cfg)
 
@@ -332,10 +339,11 @@ def human_forward(
             A_vitruvian2pose, gs_xyz, canon_out["posedirs"],
             canon_out["lbs_weights"], s_out.full_pose,
             disable_posedirs=cfg.disable_posedirs)
-        _, gt_lbs_weights = smpl_lbsweight_top_k(
-            fixed.smpl.lbs_weights, jax.lax.stop_gradient(gs_xyz),
-            fixed.vitruvian_verts)
-        gt_lbs_weights = jax.lax.stop_gradient(gt_lbs_weights)
+        if compute_gt_lbs:
+            _, gt_lbs_weights = smpl_lbsweight_top_k(
+                fixed.smpl.lbs_weights, jax.lax.stop_gradient(gs_xyz),
+                fixed.vitruvian_verts)
+            gt_lbs_weights = jax.lax.stop_gradient(gt_lbs_weights)
     else:
         curr_offsets = s_out.shape_offsets + s_out.pose_offsets
         T_v2t = fixed.inv_T_t2vitruvian

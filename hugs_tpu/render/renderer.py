@@ -162,8 +162,7 @@ def render_human_scene(
         # pass (growing the merged budget grows this one with it).
         if sep_kw.get("instance_budget"):
             sep_kw["instance_budget"] = max(
-                1 << 16, (sep_kw["instance_budget"] // 2 + 32767)
-                // 32768 * 32768)
+                4096, sep_kw["instance_budget"] // 2)
         hpkg = render(human_gs_out["xyz"], human_gs_out["scales"],
                       human_gs_out["rotq"], human_gs_out["opacity"],
                       human_gs_out["shs"], camera, width, height,

@@ -497,7 +497,8 @@ class GaussianTrainer:
                 self.human_cfg,
                 smpl_scale=jnp.asarray(
                     data.get("smpl_scale", 1.0), jnp.float32).reshape(()),
-                dataset_idx=max(dataset_idx, 0), ext_tfs=ext_tfs, **kwargs)
+                dataset_idx=max(dataset_idx, 0), ext_tfs=ext_tfs,
+                compute_gt_lbs=False, **kwargs)
         if self.scene is not None:
             s_out = sgs.scene_forward(self.scene.gs)
         return h_out, s_out
@@ -581,7 +582,8 @@ class GaussianTrainer:
             h_out = hgs.human_forward(
                 h_params, h_state, fixed, hcfg, global_orient=go,
                 body_pose=bp, betas=betas, transl=transl,
-                smpl_scale=smpl_scale, dataset_idx=0, ext_tfs=ext)
+                smpl_scale=smpl_scale, dataset_idx=0, ext_tfs=ext,
+                compute_gt_lbs=False)
             s_out = sgs.scene_forward(s_gs) if s_gs is not None else None
             pkg = render_human_scene(
                 {"camera": cam, "width": W, "height": H}, h_out, s_out,
@@ -751,7 +753,7 @@ def render_poses(trainer: "GaussianTrainer", camera_params: list,
         data = dict(smpl_params, **cp)
         h_out = hgs.human_forward(
             trainer.human.params, trainer.human.state, trainer.fixed,
-            trainer.human_cfg, canon_out=canon,
+            trainer.human_cfg, canon_out=canon, compute_gt_lbs=False,
             global_orient=jnp.asarray(data["global_orient"]).reshape(3),
             body_pose=jnp.asarray(data["body_pose"]).reshape(-1)[:69],
             betas=jnp.asarray(data["betas"]).reshape(10),

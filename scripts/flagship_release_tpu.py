@@ -57,7 +57,10 @@ SMOKE = bool(int(os.environ.get("FLAGSHIP_SMOKE", "0")))
 W, H = (96, 64) if SMOKE else (960, 540)
 F = 8 if SMOKE else 104
 STEPS = int(os.environ.get("FLAGSHIP_STEPS", "10" if SMOKE else "14998"))
-VPB = 4 if SMOKE else 288           # synthetic-SMPL verts per bone
+VPB = 4 if SMOKE else int(os.environ.get("FLAGSHIP_VPB", "460"))
+# synthetic-SMPL verts per bone; 460 -> 11,040-vert body, x2 subdivision
+# -> ~110k initial human Gaussians == the reference's 110,210
+# (6,890-vert SMPL subdivided twice, BASELINE.md)
 N_SUBDIV = 1 if SMOKE else 2
 H_CAP = 512 if SMOKE else 131072
 S_CAP = 512 if SMOKE else 131072

@@ -83,7 +83,8 @@ def main():
         h_out = hgs.human_forward(
             params, state, fixed, cfg, global_orient=jnp.zeros(3),
             body_pose=pose, betas=betas, transl=jnp.zeros(3),
-            smpl_scale=jnp.float32(1.0), canon_out=canon_out)
+            smpl_scale=jnp.float32(1.0), canon_out=canon_out,
+            compute_gt_lbs=False)
         pkg = render_human_scene(
             {"camera": cam, "width": W, "height": H}, h_out, s_out,
             bg_color=bg, render_mode="human_scene", backend="pallas",
@@ -117,7 +118,7 @@ def main():
             h_out = hgs.human_forward(
                 params, state, fixed, cfg, global_orient=jnp.zeros(3),
                 body_pose=p, betas=betas, transl=jnp.zeros(3),
-                smpl_scale=jnp.float32(1.0))
+                smpl_scale=jnp.float32(1.0), compute_gt_lbs=False)
             pkg = render_human_scene(
                 {"camera": cam, "width": W, "height": H}, h_out, s_out,
                 bg_color=bg, render_mode="human_scene", backend="pallas",

@@ -55,6 +55,33 @@ def test_knn_vs_numpy():
     np.testing.assert_allclose(np.sort(d, 1), np.sort(np.take_along_axis(full, idx_np, 1), 1), rtol=1e-4, atol=1e-5)
 
 
+def test_knn_group_min_edge_cases():
+    """The fused group-min extraction (ops/knn.py): repeated extraction
+    from the same 128-lane group (clustered refs), off-origin clouds,
+    non-multiple-of-128 ref counts, k at the fallback boundary."""
+    rng = np.random.RandomState(7)
+    for M, N, k, spread, off in [(333, 1000, 6, 1.0, 0.0),
+                                 (128, 300, 8, 1e-3, 5.0),
+                                 (40, 128, 6, 1.0, 100.0),
+                                 (64, 129, 3, 1.0, 0.0),
+                                 (20, 500, 9, 1.0, 0.0)]:  # k>8 fallback
+        pts = (rng.randn(N, 3) * spread + off).astype(np.float32)
+        q = (rng.randn(M, 3) * spread + off).astype(np.float32)
+        d, idx = knn(jnp.array(q), jnp.array(pts), k=k, chunk=64)
+        full = ((q[:, None].astype(np.float64) - pts[None]) ** 2).sum(-1)
+        want = np.sort(full, axis=1)[:, :k]
+        np.testing.assert_allclose(np.sort(np.asarray(d), 1), want,
+                                   rtol=2e-3, atol=1e-9)
+        # chosen indices achieve the optimal distances (ties may permute)
+        got = np.take_along_axis(full, np.asarray(idx), 1)
+        np.testing.assert_allclose(np.sort(got, 1), want,
+                                   rtol=2e-3, atol=1e-9)
+        # ascending, no duplicates
+        assert np.all(np.diff(np.asarray(d), axis=1) >= -1e-12)
+        for r in range(M):
+            assert len(set(np.asarray(idx)[r].tolist())) == k
+
+
 def test_mean_sq_dist_excludes_self():
     pts = jnp.array([[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0], [3.0, 0, 0], [4.0, 0, 0]])
     d = mean_sq_dist_to_knn(pts, k=2)

@@ -171,3 +171,32 @@ def test_tight_cull_exact():
     g_cul = jax.grad(lambda m: loss(bins_cul, m))(pg.mean2d)
     np.testing.assert_allclose(np.asarray(g_cul), np.asarray(g_raw),
                                atol=1e-6, rtol=1e-5)
+
+
+def test_humansep_overflow_surfaced():
+    """The separate human pass runs at HALF the merged instance budget
+    (renderer.render_human_scene); if IT drops instances, the package
+    must report overflow and an instance count large enough that the
+    trainer's grow-and-retry fixes both passes."""
+    from hugs_tpu.render import render_human_scene
+
+    n = 500
+    means, scales, rotq, opacity, shs, cam = make_scene(n)
+    big = jnp.full_like(scales, 0.8)     # every splat covers many tiles
+    h_out = {"xyz": means, "scales": big, "rotq": rotq,
+             "opacity": opacity, "shs": shs, "active_sh_degree": 0}
+    s_out = {"xyz": means[:8] + 0.5, "scales": scales[:8],
+             "rotq": rotq[:8], "opacity": opacity[:8], "shs": shs[:8],
+             "active_sh_degree": 0}
+    data = {"camera": cam, "width": W, "height": H}
+
+    kw = dict(bg_color=jnp.zeros(3), render_mode="human_scene",
+              backend="tiled", instance_budget=8192)
+    pkg = render_human_scene(data, h_out, s_out,
+                             render_human_separate=True, **kw)
+    # merged pass fits 8192; the human-only pass (budget 4096) drops
+    assert not bool(render_human_scene(
+        data, h_out, s_out, render_human_separate=False,
+        **kw)["overflowed"])
+    assert bool(pkg["overflowed"])
+    assert int(pkg["n_instances"]) >= 2 * 4096

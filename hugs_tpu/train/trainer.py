@@ -181,20 +181,29 @@ class GaussianTrainer:
                     instance_budget=self._ibudget,
                     tile_cap=int(t.tile_cap))
 
-    def _check_budget(self, aux) -> bool:
+    def _check_budget(self, aux, ni=None, overflowed=None) -> bool:
         """Grow the instance budget from the measured instance count.
 
         Returns True when the step OVERFLOWED the budget (instances were
         dropped) — the caller re-runs the step at the grown budget instead
         of committing a degraded update (VERDICT r1 item 2; reference
         never drops: gs_renderer duplicates into an exact-size buffer).
-        Also grows PROACTIVELY at 7/8 occupancy so densification growth
-        re-jits before ever overflowing."""
+        Also grows PROACTIVELY at 3/4 occupancy so densification growth
+        re-jits before ever overflowing.
+
+        ni/overflowed may be passed pre-fetched: each scalar device read
+        costs a full host<->device round trip (~80 ms/step through the
+        TPU-tunnel relay of this environment — measured to dominate the
+        step), so the train loop batches them into one device_get and
+        only on SYNC steps (every 10th + around densification
+        boundaries, the only places the count jumps >25% at once)."""
         if self._ibudget_fixed or "n_instances" not in aux:
             return False
-        ni = int(aux["n_instances"])
-        overflowed = bool(aux.get("overflowed", False))
-        if overflowed or ni * 8 >= self._ibudget * 7:
+        if ni is None:
+            ni = int(aux["n_instances"])
+        if overflowed is None:
+            overflowed = bool(aux.get("overflowed", False))
+        if overflowed or ni * 4 >= self._ibudget * 3:
             new = _budget_bucket(max(ni * 3 // 2, self._ibudget))
             if new > self._ibudget:
                 print(f"instance budget: {self._ibudget} -> {new} "
@@ -202,6 +211,28 @@ class GaussianTrainer:
                       f"{', overflowed — retrying step' if overflowed else ''})")
                 self._ibudget = new
         return overflowed
+
+    def _is_sync_step(self, t_iter: int) -> bool:
+        """Steps whose aux scalars are worth a device round trip: every
+        10th, plus the step right after either model's densify/prune or
+        opacity reset fired (the only discontinuities in instance
+        count)."""
+        if t_iter % 10 == 0:
+            return True
+        cfg = self.cfg
+        for prev in (t_iter - 1, t_iter):
+            its = prev + 1
+            if self.human is not None \
+                    and its <= cfg.human.densify_until_iter \
+                    and its % cfg.human.densification_interval == 0:
+                return True
+            if self.scene is not None:
+                it = (prev - max(cfg.scene.opt_start_iter, 0)) + 1
+                if it <= cfg.scene.densify_until_iter and (
+                        it % cfg.scene.densification_interval == 0
+                        or it % cfg.scene.opacity_reset_interval == 0):
+                    return True
+        return False
 
     def _frame(self, data):
         return (data["camera"], jnp.asarray(data["rgb"]),
@@ -228,11 +259,23 @@ class GaussianTrainer:
             camera, gt, mask, W, H = self._frame(data)
             self.key, k_step, k_bg = jax.random.split(self.key, 3)
             bg = jax.random.uniform(k_bg, (3,))
+            # scalar reads (loss/n_instances/overflowed) cost a full
+            # relay round trip (~80 ms measured) — fetch them in ONE
+            # device_get and only on sync steps (_is_sync_step); all
+            # other steps run free of host-device synchronization.
+            sync = self._is_sync_step(t_iter)
+            vals = None
             for _attempt in range(3):
                 snap = (self.human, self.scene, self.key)
                 aux = self._train_step(t_iter, idx, data, camera, gt,
                                        mask, W, H, bg, k_step)
-                if not self._check_budget(aux):
+                if not sync:
+                    break
+                vals = jax.device_get((aux["loss"],
+                                       aux.get("n_instances", 0),
+                                       aux.get("overflowed", False)))
+                if not self._check_budget(aux, ni=int(vals[1]),
+                                          overflowed=bool(vals[2])):
                     break
                 # budget overflow: discard the degraded update and re-run
                 # the step at the grown budget (re-jit, one-off cost)
@@ -241,14 +284,13 @@ class GaussianTrainer:
                 print(f"WARNING: tile-instance budget overflow persists "
                       f"at iter {t_iter} (budget={self._ibudget})")
 
-            if t_iter % 10 == 0:
+            if t_iter % 10 == 0 and vals is not None:
                 rec = {"iter": t_iter,
-                       "loss": float(aux["loss"]),
+                       "loss": float(vals[0]),
                        "elapsed_s": time.time() - t_start}
                 log.append(rec)
                 self._log_jsonl(rec)
-                if bool(aux.get("overflowed", False)) \
-                        and self._ibudget_fixed:
+                if bool(vals[2]) and self._ibudget_fixed:
                     print(f"WARNING: tile-instance budget overflow at "
                           f"iter {t_iter} — raise tpu.instance_budget "
                           f"(dropped Gaussian instances degrade quality)")
@@ -373,6 +415,8 @@ class GaussianTrainer:
             keys = jax.random.split(k_step, bsz)
             h_lr = jnp.float32(self.h_xyz_sched(t_iter))
             s_lr = jnp.float32(self.s_xyz_sched(t_iter))
+            sync = self._is_sync_step(t_iter)
+            vals = None
             for _attempt in range(3):
                 snap = (self.human, self.scene, self.key)
                 step = self._get_dp_step(W, H, n_data)
@@ -381,7 +425,13 @@ class GaussianTrainer:
                     cams, gts, masks, bgs, hbgs, scales, didx, keys,
                     h_lr, self.h_static_lrs, s_lr, self.s_static_lrs)
                 self.human, self.scene = jstate.human, jstate.scene
-                if not self._check_budget(aux):
+                if not sync:
+                    break
+                vals = jax.device_get((aux["loss"],
+                                       aux.get("n_instances", 0),
+                                       aux.get("overflowed", False)))
+                if not self._check_budget(aux, ni=int(vals[1]),
+                                          overflowed=bool(vals[2])):
                     break
                 self.human, self.scene, self.key = snap
             else:
@@ -389,8 +439,8 @@ class GaussianTrainer:
                       f"at iter {t_iter} (budget={self._ibudget})")
             self._maybe_densify_human(t_iter, aux)
             self._maybe_densify_scene(t_iter)
-            if t_iter % 10 == 0:
-                rec = {"iter": t_iter, "loss": float(aux["loss"]),
+            if t_iter % 10 == 0 and vals is not None:
+                rec = {"iter": t_iter, "loss": float(vals[0]),
                        "elapsed_s": time.time() - t_start}
                 log.append(rec)
                 self._log_jsonl(rec)
@@ -472,14 +522,26 @@ class GaussianTrainer:
                     f"{cfg.logdir}/train/{t_iter:06d}.png")
             if t_iter > 0 and t_iter % cfg.train.save_ckpt_interval == 0:
                 self.save_ckpt(t_iter)
+            # Periodic eval/anim are observability, not training state:
+            # a transient failure there (e.g. this environment's remote-
+            # compile relay dropping a connection) must not kill a long
+            # training run. Training-step errors still propagate.
             if t_iter > 0 and t_iter % cfg.train.val_interval == 0 \
                     and self.val_dataset is not None:
-                self.validate(t_iter)
+                try:
+                    self.validate(t_iter)
+                except Exception as e:          # noqa: BLE001
+                    print(f"WARNING: validate({t_iter}) failed "
+                          f"(continuing training): {e}")
             anim_every = int(cfg.train.get("anim_interval", 0) or 0)
             if t_iter > 0 and anim_every > 0 \
                     and t_iter % anim_every == 0 \
                     and self.anim_dataset is not None:
-                self.animate(t_iter)
+                try:
+                    self.animate(t_iter)
+                except Exception as e:          # noqa: BLE001
+                    print(f"WARNING: animate({t_iter}) failed "
+                          f"(continuing training): {e}")
 
     # -------------------------------------------------------- rendering
 

@@ -64,7 +64,8 @@ VPB = 4 if SMOKE else int(os.environ.get("FLAGSHIP_VPB", "460"))
 N_SUBDIV = 1 if SMOKE else 2
 H_CAP = 512 if SMOKE else 131072
 S_CAP = 512 if SMOKE else 131072
-IBUDGET = (1 << 14) if SMOKE else 393216   # starting bucket; auto-grows
+IBUDGET = (1 << 14) if SMOKE else int(
+    os.environ.get("FLAGSHIP_IBUDGET", "393216"))  # start bucket; auto-grows
 GT_BUDGET = (1 << 14) if SMOKE else (1 << 18)
 N_SPHERE = 128 if SMOKE else 24000
 N_FLOOR = 64 if SMOKE else 8000
@@ -237,7 +238,7 @@ def main():
     cfg = load_config(cfg_path)
     cfg.train.num_steps = STEPS
     cfg.train.val_interval = VAL_INTERVAL
-    cfg.train.save_ckpt_interval = max(STEPS, 1)
+    cfg.train.save_ckpt_interval = 4 if SMOKE else 5000
     cfg.train.anim_interval = 0
     cfg.human.n_subdivision = N_SUBDIV
     cfg.human.loss.lpips_w = LPIPS_W
@@ -256,7 +257,8 @@ def main():
     t0 = time.time()
     trainer = GaussianTrainer(cfg, train_dataset=ds_train,
                               val_dataset=ds_val, smpl_model=smpl)
-    trainer._ibudget_fixed = False        # fixed start, auto-grow on
+    if not int(os.environ.get("FLAGSHIP_FIXED_BUDGET", "0")):
+        trainer._ibudget_fixed = False    # fixed start, auto-grow on
     setup_s = time.time() - t0
     n_h_init = int(jnp.sum(trainer.human.state.alive))
     print(f"trainer built (incl. {cfg.human.init_steps}-step init "
@@ -268,7 +270,11 @@ def main():
     train_s = time.time() - t0
 
     t0 = time.time()
-    final = trainer.validate()
+    try:
+        final = trainer.validate()
+    except Exception as e:                     # relay flake: retry once
+        print(f"final validate failed ({e}); retrying", flush=True)
+        final = trainer.validate()
     val_s = time.time() - t0
     print("final metrics:", final, flush=True)
 

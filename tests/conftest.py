@@ -28,3 +28,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache for the CPU test runs: the suite's cost
+# is dominated by XLA compiles of the 8-device shard_map graphs (the
+# sharding/gauss-shard parity tests run minutes of compile on tiny
+# scenes). First run pays; reruns hit the cache.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)

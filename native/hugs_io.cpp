@@ -152,3 +152,112 @@ int64_t hugs_parse_images(const char* path, double* quat, double* trans,
 }
 
 }  // extern "C"
+
+// --- COLMAP binary model format ---------------------------------------
+// Little-endian, packed (no padding); spec: COLMAP src/colmap/scene/
+// reconstruction_io.cc. Records are variable-length (per-point tracks,
+// per-image keypoint tables), so parsing is a linear walk; all multi-
+// byte reads go through memcpy (the buffers are unaligned).
+
+namespace {
+
+template <typename T>
+inline bool rd(const char*& p, const char* end, T* out) {
+  if (p + sizeof(T) > end) return false;
+  std::memcpy(out, p, sizeof(T));
+  p += sizeof(T);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse COLMAP points3D.bin. Same two-pass protocol as the text parser:
+// pass 1 (xyz == nullptr) returns the point count (from the header);
+// pass 2 fills xyz (n*3 f32) and rgb (n*3 f32 in [0,1]).
+int64_t hugs_parse_points3d_bin(const char* path, float* xyz, float* rgb,
+                                int64_t capacity) {
+  size_t size = 0;
+  char* buf = read_file(path, &size);
+  if (!buf) return -1;
+  const char* p = buf;
+  const char* end = buf + size;
+  uint64_t n = 0;
+  if (!rd(p, end, &n)) { std::free(buf); return -1; }
+  if (xyz == nullptr) { std::free(buf); return static_cast<int64_t>(n); }
+  int64_t filled = 0;
+  for (uint64_t i = 0; i < n && filled < capacity; ++i) {
+    int64_t id;
+    double x, y, z, err;
+    uint8_t r, g, b;
+    uint64_t track_len;
+    if (!rd(p, end, &id) || !rd(p, end, &x) || !rd(p, end, &y) ||
+        !rd(p, end, &z) || !rd(p, end, &r) || !rd(p, end, &g) ||
+        !rd(p, end, &b) || !rd(p, end, &err) || !rd(p, end, &track_len)) {
+      std::free(buf);
+      return -1;
+    }
+    if (p + 8 * track_len > end) { std::free(buf); return -1; }
+    p += 8 * track_len;  // (i32 image_id, i32 point2d_idx) per element
+    xyz[filled * 3 + 0] = static_cast<float>(x);
+    xyz[filled * 3 + 1] = static_cast<float>(y);
+    xyz[filled * 3 + 2] = static_cast<float>(z);
+    rgb[filled * 3 + 0] = static_cast<float>(r / 255.0);
+    rgb[filled * 3 + 1] = static_cast<float>(g / 255.0);
+    rgb[filled * 3 + 2] = static_cast<float>(b / 255.0);
+    ++filled;
+  }
+  std::free(buf);
+  return filled;
+}
+
+// Parse COLMAP images.bin pose records, skipping keypoint tables.
+// Same protocol as hugs_parse_images (two passes, '\n'-joined names).
+int64_t hugs_parse_images_bin(const char* path, double* quat, double* trans,
+                              int32_t* cam_ids, char* names,
+                              int64_t names_cap, int64_t capacity) {
+  size_t size = 0;
+  char* buf = read_file(path, &size);
+  if (!buf) return -1;
+  const char* p = buf;
+  const char* end = buf + size;
+  uint64_t n = 0;
+  if (!rd(p, end, &n)) { std::free(buf); return -1; }
+  if (quat == nullptr) { std::free(buf); return static_cast<int64_t>(n); }
+  int64_t filled = 0;
+  int64_t names_len = 0;
+  for (uint64_t i = 0; i < n && filled < capacity; ++i) {
+    int32_t img_id, cam_id;
+    double q[4], t[3];
+    if (!rd(p, end, &img_id)) { std::free(buf); return -1; }
+    for (int k = 0; k < 4; ++k)
+      if (!rd(p, end, &q[k])) { std::free(buf); return -1; }
+    for (int k = 0; k < 3; ++k)
+      if (!rd(p, end, &t[k])) { std::free(buf); return -1; }
+    if (!rd(p, end, &cam_id)) { std::free(buf); return -1; }
+    const char* name_start = p;
+    while (p < end && *p != '\0') ++p;
+    if (p >= end) { std::free(buf); return -1; }
+    int64_t len = p - name_start;
+    ++p;  // skip NUL
+    uint64_t n_pts = 0;
+    if (!rd(p, end, &n_pts)) { std::free(buf); return -1; }
+    if (p + 24 * n_pts > end) { std::free(buf); return -1; }
+    p += 24 * n_pts;  // (f64 x, f64 y, i64 point3d_id) per keypoint
+    for (int k = 0; k < 4; ++k) quat[filled * 4 + k] = q[k];
+    for (int k = 0; k < 3; ++k) trans[filled * 3 + k] = t[k];
+    cam_ids[filled] = cam_id;
+    if (names_len + len + 1 < names_cap) {
+      std::memcpy(names + names_len, name_start, len);
+      names_len += len;
+      names[names_len++] = '\n';
+    }
+    ++filled;
+  }
+  if (names != nullptr && names_len < names_cap) names[names_len] = '\0';
+  std::free(buf);
+  return filled;
+}
+
+}  // extern "C"

@@ -142,6 +142,59 @@ def test_synthetic_cameras():
     assert sp["body_pose"].shape == (69,)
 
 
+def test_colmap_binary_roundtrip(neuman_root, tmp_path):
+    """Binary COLMAP model: write_colmap_bin -> read_colmap_scene parity
+    with the ASCII parse of the same scene, through BOTH the native C++
+    parser and the pure-Python fallback."""
+    from hugs_tpu.data import colmap, native
+    txt = read_colmap_scene(os.path.join(neuman_root, "lab", "sparse"))
+    bdir = str(tmp_path / "sparse_bin")
+    colmap.write_colmap_bin(bdir, txt.cameras, txt.images, txt.points,
+                            txt.colors)
+
+    def check(scene):
+        assert scene.cameras[1] == txt.cameras[1]
+        assert len(scene.images) == len(txt.images)
+        for a, b in zip(scene.images, txt.images):
+            assert a.name == b.name and a.camera_id == b.camera_id
+            np.testing.assert_allclose(a.R, b.R, atol=1e-6)
+            np.testing.assert_allclose(a.t, b.t, atol=1e-6)
+        np.testing.assert_allclose(scene.points, txt.points, atol=1e-6)
+        # colors round-trip through u8 quantization
+        np.testing.assert_allclose(scene.colors, txt.colors,
+                                   atol=0.5 / 255.0)
+
+    check(read_colmap_scene(bdir))          # native path if available
+    if native.native_available():
+        # force the pure-Python fallbacks
+        assert colmap.read_images_bin.__module__ == "hugs_tpu.data.colmap"
+        import unittest.mock as mock
+        with mock.patch.object(native, "parse_images_bin",
+                               lambda p: None), \
+             mock.patch.object(native, "parse_points3d_bin",
+                               lambda p: None):
+            check(read_colmap_scene(bdir))
+        # and check native vs python parser agreement directly
+        nat = native.parse_points3d_bin(os.path.join(bdir, "points3D.bin"))
+        assert nat is not None
+        np.testing.assert_allclose(nat[0], txt.points, atol=1e-6)
+
+
+def test_colmap_bin_preferred_over_txt(neuman_root, tmp_path):
+    """A directory holding both formats parses the binary one."""
+    from hugs_tpu.data import colmap
+    import shutil
+    src = os.path.join(neuman_root, "lab", "sparse")
+    both = str(tmp_path / "sparse_both")
+    shutil.copytree(src, both)
+    txt = read_colmap_scene(src)
+    # write a binary model with a DIFFERENT point count to tell them apart
+    colmap.write_colmap_bin(both, txt.cameras, txt.images,
+                            txt.points[:7], txt.colors[:7])
+    scene = read_colmap_scene(both)
+    assert scene.points.shape == (7, 3)
+
+
 def test_native_parser_matches_python(neuman_root):
     import os as _os
     from hugs_tpu.data import native, colmap

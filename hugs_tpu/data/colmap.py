@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import struct
+import warnings
 from typing import NamedTuple
 
 import numpy as np
@@ -71,23 +72,41 @@ def _quat_to_rot(q: np.ndarray) -> np.ndarray:
     ], np.float32)
 
 
+_FISHEYE_MODELS = ("SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE",
+                   "OPENCV_FISHEYE", "THIN_PRISM_FISHEYE")
+
+
 def _make_camera(model: str, w: int, h: int, p) -> ColmapCamera:
     if model == "SIMPLE_PINHOLE":
         fx = fy = p[0]
         cx, cy = p[1], p[2]
+        dist = ()
     elif model == "PINHOLE":
         fx, fy, cx, cy = p[:4]
-    elif model in ("SIMPLE_RADIAL", "RADIAL",
-                   "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE"):
-        # ignore distortion (reference's reader requires
-        # undistorted input; accept with a warning-free fallback)
+        dist = ()
+    elif model in ("SIMPLE_RADIAL", "RADIAL") + _FISHEYE_MODELS[:2]:
         fx = fy = p[0]
         cx, cy = p[1], p[2]
-    elif model in ("OPENCV", "OPENCV_FISHEYE", "FULL_OPENCV",
-                   "THIN_PRISM_FISHEYE"):
+        dist = tuple(p[3:])
+    elif model in ("OPENCV", "FULL_OPENCV") + _FISHEYE_MODELS[2:]:
         fx, fy, cx, cy = p[:4]
+        dist = tuple(p[4:])
     else:
         raise ValueError(f"unsupported camera model {model}")
+    if any(abs(d) > 1e-12 for d in dist):
+        # The pipeline assumes undistorted pinhole input (as the
+        # reference's reader does). A distorted fisheye camera through a
+        # pinhole projection is wrong geometry, not an approximation.
+        if model in _FISHEYE_MODELS:
+            raise ValueError(
+                f"camera model {model} has nonzero distortion "
+                f"{dist}; undistort the reconstruction first "
+                f"(e.g. `colmap image_undistorter`)")
+        warnings.warn(
+            f"camera model {model}: dropping nonzero distortion "
+            f"coefficients {dist}; projected geometry will be "
+            f"approximate — prefer an undistorted reconstruction",
+            stacklevel=2)
     return ColmapCamera(w, h, fx, fy, cx, cy)
 
 
@@ -113,6 +132,10 @@ def read_cameras_bin(path: str) -> dict:
         (n,) = struct.unpack("<Q", f.read(8))
         for _ in range(n):
             cam_id, model_id, w, h = struct.unpack("<iiQQ", f.read(24))
+            if model_id not in CAMERA_MODELS:
+                raise ValueError(
+                    f"unsupported camera model id {model_id} in {path} "
+                    f"(known ids: {sorted(CAMERA_MODELS)})")
             name, n_par = CAMERA_MODELS[model_id]
             p = struct.unpack(f"<{n_par}d", f.read(8 * n_par))
             cams[cam_id] = _make_camera(name, int(w), int(h), p)

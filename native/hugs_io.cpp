@@ -136,11 +136,15 @@ int64_t hugs_parse_images(const char* path, double* quat, double* trans,
       const char* name_start = q;
       while (q < end && *q != '\n' && *q != '\r' && *q != ' ') ++q;
       int64_t len = q - name_start;
-      if (names_len + len + 1 < names_cap) {
-        std::memcpy(names + names_len, name_start, len);
-        names_len += len;
-        names[names_len++] = '\n';
+      if (names_len + len + 1 >= names_cap) {
+        // Silently skipping a name would shift all later names relative
+        // to quat/trans/cam_ids; fail so the caller uses the fallback.
+        std::free(buf);
+        return -1;
       }
+      std::memcpy(names + names_len, name_start, len);
+      names_len += len;
+      names[names_len++] = '\n';
     }
     ++n;
     expect_pose = false;
@@ -198,7 +202,12 @@ int64_t hugs_parse_points3d_bin(const char* path, float* xyz, float* rgb,
       std::free(buf);
       return -1;
     }
-    if (p + 8 * track_len > end) { std::free(buf); return -1; }
+    // Compare against remaining bytes without multiplying the untrusted
+    // count (8 * track_len could overflow the pointer arithmetic).
+    if (track_len > static_cast<uint64_t>(end - p) / 8) {
+      std::free(buf);
+      return -1;
+    }
     p += 8 * track_len;  // (i32 image_id, i32 point2d_idx) per element
     xyz[filled * 3 + 0] = static_cast<float>(x);
     xyz[filled * 3 + 1] = static_cast<float>(y);
@@ -243,16 +252,23 @@ int64_t hugs_parse_images_bin(const char* path, double* quat, double* trans,
     ++p;  // skip NUL
     uint64_t n_pts = 0;
     if (!rd(p, end, &n_pts)) { std::free(buf); return -1; }
-    if (p + 24 * n_pts > end) { std::free(buf); return -1; }
+    if (n_pts > static_cast<uint64_t>(end - p) / 24) {
+      std::free(buf);
+      return -1;
+    }
     p += 24 * n_pts;  // (f64 x, f64 y, i64 point3d_id) per keypoint
     for (int k = 0; k < 4; ++k) quat[filled * 4 + k] = q[k];
     for (int k = 0; k < 3; ++k) trans[filled * 3 + k] = t[k];
     cam_ids[filled] = cam_id;
-    if (names_len + len + 1 < names_cap) {
-      std::memcpy(names + names_len, name_start, len);
-      names_len += len;
-      names[names_len++] = '\n';
+    if (names_len + len + 1 >= names_cap) {
+      // A skipped name while `filled` advances would misattribute every
+      // later pose; fail so the caller falls back to the Python parser.
+      std::free(buf);
+      return -1;
     }
+    std::memcpy(names + names_len, name_start, len);
+    names_len += len;
+    names[names_len++] = '\n';
     ++filled;
   }
   if (names != nullptr && names_len < names_cap) names[names_len] = '\0';

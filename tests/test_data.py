@@ -195,6 +195,44 @@ def test_colmap_bin_preferred_over_txt(neuman_root, tmp_path):
     assert scene.points.shape == (7, 3)
 
 
+def test_colmap_camera_model_edge_cases(tmp_path):
+    """Distorted-model handling: warn + drop for mild radial/opencv
+    distortion, hard error for distorted fisheye, descriptive error for
+    unknown binary model ids (ADVICE r3)."""
+    import struct
+    import warnings as _warnings
+    from hugs_tpu.data import colmap
+
+    # zero-distortion models parse silently
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        c = colmap._make_camera("SIMPLE_RADIAL", 64, 48,
+                                [50.0, 32.0, 24.0, 0.0])
+        assert c.fx == 50.0 and c.fy == 50.0
+        c = colmap._make_camera("OPENCV_FISHEYE", 64, 48,
+                                [50.0, 51.0, 32.0, 24.0, 0, 0, 0, 0])
+        assert c.fy == 51.0
+
+    # nonzero non-fisheye distortion: warning, coefficients dropped
+    with pytest.warns(UserWarning, match="distortion"):
+        c = colmap._make_camera("OPENCV", 64, 48,
+                                [50.0, 51.0, 32.0, 24.0, 0.1, 0, 0, 0])
+    assert c.cx == 32.0
+
+    # nonzero fisheye distortion: rejected
+    with pytest.raises(ValueError, match="undistort"):
+        colmap._make_camera("OPENCV_FISHEYE", 64, 48,
+                            [50.0, 51.0, 32.0, 24.0, 0.3, 0, 0, 0])
+
+    # unknown model id in cameras.bin: descriptive ValueError
+    path = str(tmp_path / "cameras.bin")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 99, 64, 48))
+    with pytest.raises(ValueError, match="unsupported camera model id 99"):
+        colmap.read_cameras_bin(path)
+
+
 def test_native_parser_matches_python(neuman_root):
     import os as _os
     from hugs_tpu.data import native, colmap

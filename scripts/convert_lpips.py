@@ -10,6 +10,10 @@ Field layout consumed by hugs_tpu/losses/lpips.py: conv_{i}_w (kh,kw,cin,
 cout) HWIO, conv_{i}_b (cout,) for the 13 VGG16 convs, lin_{t} (c_tap,)
 for the 5 LPIPS linear heads.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 
 import numpy as np

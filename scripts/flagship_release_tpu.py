@@ -39,6 +39,10 @@ Probe (a few hundred steps, prints steps/s):
     FLAGSHIP_STEPS=200 ... same command
 CPU smoke: FLAGSHIP_SMOKE=1 + local-CPU env.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import os
 import sys

@@ -20,6 +20,10 @@ Writes evidence/fps_bench_tpu.json. Run:
         > /tmp/fps.log 2>&1 &
 CPU smoke: FPS_SMOKE=1 + local-CPU env.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import os
 import sys

@@ -17,6 +17,10 @@ Run (default TPU env):
         python scripts/human_avatar_tpu.py > /tmp/human.log 2>&1 &
 CPU smoke: HUMAN_TPU_SMOKE=1 + local-CPU env.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import os
 import time

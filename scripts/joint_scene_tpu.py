@@ -20,6 +20,10 @@ Run (default TPU env):
         python scripts/joint_scene_tpu.py > /tmp/joint.log 2>&1 &
 CPU smoke: JOINT_TPU_SMOKE=1 + local-CPU env.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import os
 import time

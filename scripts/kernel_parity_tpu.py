@@ -12,6 +12,10 @@ Run (default TPU env):
 
 Writes evidence/kernel_parity_tpu.json.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import os
 

@@ -8,6 +8,10 @@
 
 Run: PYTHONPATH=/root/repo nohup timeout 1700 python scripts/micro_bwd.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import functools
 import os
 import time

@@ -11,6 +11,10 @@ Run (TPU env):  nohup timeout 3000 python scripts/micro_joint.py \
                     > /tmp/micro_joint.log 2>&1 &
 Writes evidence/micro_joint.json.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import os
 import time

@@ -11,6 +11,10 @@ Run (default TPU env):
 
 Writes evidence/micro_loop.json.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import os
 import time

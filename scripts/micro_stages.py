@@ -10,6 +10,10 @@ Run (default TPU env):
     PYTHONPATH=/root/repo nohup timeout 1700 python scripts/micro_stages.py \
         > /tmp/micro.log 2>&1 &
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import os
 import time

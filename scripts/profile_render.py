@@ -7,6 +7,10 @@ go before optimizing. Writes evidence/profile_stages.json.
 Run with the DEFAULT env (TPU through the axon tunnel):
     nohup timeout 1700 python scripts/profile_render.py > /tmp/prof.log 2>&1 &
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import os
 import time

@@ -14,6 +14,10 @@ Run (default TPU env):
     PYTHONPATH=/root/repo nohup timeout 3000 python \
         scripts/surface_scene.py > /tmp/surface.log 2>&1 &
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import os
 import time

@@ -79,6 +79,45 @@ def init_distributed(coordinator_address: str | None = None,
     return True
 
 
+OVERLAP_XLA_FLAGS = (
+    # Latency-hiding scheduler: lets XLA start a gradient all-reduce as
+    # soon as its producing subgraph finishes, overlapping collectives
+    # with the remaining backward tile pass (the north-star "grad
+    # all-reduce overlapped with backward" — BASELINE.json). The sharded
+    # steps psum per-LEAF (train_dp_tile.py:206, one all-reduce per
+    # parameter group), so each reduce is independently schedulable; this
+    # flag turns that freedom into actual overlap on TPU.
+    "--xla_tpu_enable_latency_hiding_scheduler=true",
+    # allow collectives to run async on their own stream
+    "--xla_tpu_enable_async_collective_fusion=true",
+    "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true",
+)
+
+
+def enable_overlap_flags() -> bool:
+    """Append the collective-overlap XLA flags to XLA_FLAGS.
+
+    Must run BEFORE jax initializes its backend (like
+    init_distributed). The flags are TPU-backend-only (the CPU XLA
+    client aborts on unknown --xla_tpu_* flags), so this is a no-op
+    when JAX_PLATFORMS pins a non-TPU backend. Returns False (and
+    changes nothing) if the backend is already initialized or a
+    non-TPU platform is pinned.
+    """
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if platforms and "tpu" not in platforms.lower():
+        return False
+    import jax._src.xla_bridge as xb
+    if getattr(xb, "_backends", None):
+        return False
+    cur = os.environ.get("XLA_FLAGS", "")
+    missing = [f for f in OVERLAP_XLA_FLAGS if f not in cur]
+    if not missing:
+        return True
+    os.environ["XLA_FLAGS"] = (cur + " " + " ".join(missing)).strip()
+    return True
+
+
 def make_hybrid_mesh(n_tile: int | None = None,
                      axis_names=("data", "tile")) -> Mesh:
     """('data', 'tile') mesh: 'tile' within a host (ICI), 'data' across

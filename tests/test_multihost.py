@@ -94,3 +94,42 @@ def test_two_process_gloo_psum(tmp_path):
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out}"
         assert f"rank {r} OK" in out
+
+
+def test_enable_overlap_flags(tmp_path):
+    """Overlap flags: appended once before backend init on a TPU-bound
+    process; refused after init or under a pinned non-TPU platform."""
+    script = tmp_path / "flags.py"
+    script.write_text(f"""
+import os, sys
+sys.path.insert(0, {REPO!r})
+from hugs_tpu.parallel.multihost import (enable_overlap_flags,
+                                         OVERLAP_XLA_FLAGS)
+# pinned-CPU process: no-op (the CPU XLA client aborts on xla_tpu flags)
+os.environ["JAX_PLATFORMS"] = "cpu"
+assert enable_overlap_flags() is False
+assert "latency_hiding" not in os.environ.get("XLA_FLAGS", "")
+# TPU-bound process (platform unpinned): flags land, idempotently
+del os.environ["JAX_PLATFORMS"]
+assert enable_overlap_flags() is True
+assert enable_overlap_flags() is True
+flags = os.environ["XLA_FLAGS"]
+for f in OVERLAP_XLA_FLAGS:
+    assert flags.count(f) == 1, f
+# after the backend exists the helper refuses (flags would be ignored)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+jax.devices()
+del os.environ["JAX_PLATFORMS"]
+assert enable_overlap_flags() is False
+print("flags OK")
+""")
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run([sys.executable, str(script)], env=env,
+                         capture_output=True, timeout=120)
+    assert out.returncode == 0, out.stdout.decode() + out.stderr.decode()
+    assert "flags OK" in out.stdout.decode()

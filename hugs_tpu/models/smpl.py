@@ -146,8 +146,16 @@ class _ChumpyShim:
 
 class _SMPLUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
-        if module.startswith("chumpy") or module == "scipy.sparse.csc":
+        if module.startswith("chumpy"):
             return _ChumpyShim
+        if module.startswith("scipy.sparse"):
+            # Real SMPL pkls store J_regressor as scipy.sparse.csc.
+            # csc_matrix (pre-1.8 module path). Resolve against the
+            # installed scipy — shimming it instead would make _to_np
+            # return the raw `data` nonzeros vector, silently corrupting
+            # the regressor.
+            import scipy.sparse
+            return getattr(scipy.sparse, name)
         return super().find_class(module, name)
 
 

@@ -167,3 +167,95 @@ def test_forward_with_cached_canon_matches():
     for k in ("xyz", "scales", "rotq", "shs", "opacity"):
         np.testing.assert_allclose(np.asarray(fast[k]), np.asarray(full[k]),
                                    atol=1e-6, err_msg=k)
+
+
+def test_load_smpl_real_format_pkl(tmp_path):
+    """load_smpl against a pkl that mimics the REAL SMPL_NEUTRAL.pkl
+    wire format (no datasets ship in this env): chumpy-referencing
+    arrays for v_template/shapedirs/posedirs/weights, J_regressor as a
+    scipy.sparse csc_matrix pickled under the pre-1.8 module path
+    `scipy.sparse.csc`, and a uint32 kintree_table whose root parent is
+    4294967295 (uint32 -1) — all quirks of the shipped basicmodel pkl
+    (reference loads it via smplx at hugs/models/modules/smpl_layer.py)."""
+    import pickle
+    import sys
+    import types
+
+    import scipy.sparse as sp
+
+    from hugs_tpu.models.smpl import (load_smpl, smpl_forward,
+                                      NUM_JOINTS, NUM_POSE_FEATURES)
+
+    rng = np.random.RandomState(3)
+    V = 64
+    v_template = rng.randn(V, 3).astype(np.float64)
+    shapedirs = rng.randn(V, 3, 10).astype(np.float64) * 0.01
+    posedirs = rng.randn(V, 3, NUM_POSE_FEATURES).astype(np.float64) * 0.001
+    weights = rng.rand(V, NUM_JOINTS).astype(np.float64)
+    weights /= weights.sum(-1, keepdims=True)
+    jreg_dense = np.zeros((NUM_JOINTS, V))
+    jreg_dense[np.arange(NUM_JOINTS), rng.permutation(V)[:NUM_JOINTS]] = 1.0
+    kintree = np.zeros((2, NUM_JOINTS), np.uint32)
+    kintree[0] = np.asarray(SMPL_PARENTS, np.int64).astype(np.uint32)
+    kintree[1] = np.arange(NUM_JOINTS, dtype=np.uint32)
+    assert kintree[0, 0] == 4294967295  # the real file's uint32 -1 root
+    faces = rng.randint(0, V, (100, 3)).astype(np.uint32)
+
+    # a stand-in chumpy: pickles BY REFERENCE to module "chumpy.ch",
+    # state dict carrying the backing array under 'x' like real Ch
+    chmod = types.ModuleType("chumpy")
+    chsub = types.ModuleType("chumpy.ch")
+
+    class Ch:                                   # noqa: N801
+        def __init__(self, x):
+            self.x = x
+
+        def __reduce__(self):
+            return (_ch_new, (), {"x": self.x, "dterms": ("x",)})
+
+    def _ch_new():
+        return Ch.__new__(Ch)
+
+    Ch.__module__ = _ch_new.__module__ = "chumpy.ch"
+    Ch.__qualname__, _ch_new.__qualname__ = "Ch", "_ch_new"
+    chsub.Ch, chsub._ch_new = Ch, _ch_new
+    chmod.ch, chmod.Ch = chsub, Ch
+    sys.modules["chumpy"], sys.modules["chumpy.ch"] = chmod, chsub
+    try:
+        data = {
+            "v_template": Ch(v_template), "shapedirs": Ch(shapedirs),
+            "posedirs": Ch(posedirs), "weights": Ch(weights),
+            "J_regressor": sp.csc_matrix(jreg_dense),
+            "kintree_table": kintree, "f": faces,
+            "bs_style": "lbs", "bs_type": "lrotmin",
+        }
+        blob = pickle.dumps(data, protocol=2)
+    finally:
+        del sys.modules["chumpy"], sys.modules["chumpy.ch"]
+    # rewrite the sparse class reference to the legacy module path the
+    # real file uses (protocol 2 GLOBAL opcodes are newline-framed text)
+    blob = blob.replace(b"scipy.sparse._csc", b"scipy.sparse.csc")
+    assert b"scipy.sparse.csc" in blob and b"chumpy.ch" in blob
+
+    path = tmp_path / "SMPL_NEUTRAL.pkl"
+    path.write_bytes(blob)
+
+    # loads with neither chumpy installed nor the legacy scipy module
+    m = load_smpl(str(tmp_path))                # directory form
+    np.testing.assert_allclose(np.asarray(m.v_template),
+                               v_template.astype(np.float32), atol=0)
+    np.testing.assert_allclose(np.asarray(m.J_regressor),
+                               jreg_dense.astype(np.float32), atol=0)
+    np.testing.assert_allclose(np.asarray(m.lbs_weights),
+                               weights.astype(np.float32), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(m.posedirs),
+        posedirs.reshape(-1, NUM_POSE_FEATURES).T.astype(np.float32),
+        atol=0)
+    assert m.parents == tuple(int(p) for p in np.asarray(SMPL_PARENTS))
+    assert m.faces.shape == (100, 3)
+
+    # and the loaded model drives the LBS forward
+    out = smpl_forward(m, jnp.zeros(10), jnp.zeros(69), jnp.zeros(3))
+    assert np.isfinite(np.asarray(out.vertices)).all()
+    assert out.joints.shape == (NUM_JOINTS, 3)

@@ -83,17 +83,30 @@ def main():
 
     base_pose = jnp.zeros(69)
 
-    def frame(pose):
+    def frame_full(pose, budget):
         h_out = hgs.human_forward(
             params, state, fixed, cfg, global_orient=jnp.zeros(3),
             body_pose=pose, betas=betas, transl=jnp.zeros(3),
             smpl_scale=jnp.float32(1.0), canon_out=canon_out,
             compute_gt_lbs=False)
-        pkg = render_human_scene(
+        return render_human_scene(
             {"camera": cam, "width": W, "height": H}, h_out, s_out,
             bg_color=bg, render_mode="human_scene", backend="pallas",
-            instance_budget=IBUDGET)
-        return pkg["render"]
+            instance_budget=budget)
+
+    # right-size the instance budget from a probe frame: the sort and
+    # the instance pack pay the STATIC budget (index-bound), so a
+    # serving deployment sizes the bucket to the live instance count
+    # (x1.3 margin, pow2 bucket) exactly like the trainer's auto-sizing
+    n_inst = int(jax.jit(
+        lambda p: frame_full(p, IBUDGET)["n_instances"])(base_pose))
+    budget = 1 << max(14, int(np.ceil(np.log2(1.3 * max(n_inst, 1)))))
+    budget = min(budget, IBUDGET)
+    print(f"probe: {n_inst} instances -> budget {budget} "
+          f"(static cap {IBUDGET})", flush=True)
+
+    def frame(pose):
+        return frame_full(pose, budget)["render"]
 
     @jax.jit
     def block(p0):
@@ -126,7 +139,7 @@ def main():
             pkg = render_human_scene(
                 {"camera": cam, "width": W, "height": H}, h_out, s_out,
                 bg_color=bg, render_mode="human_scene", backend="pallas",
-                instance_budget=IBUDGET)
+                instance_budget=budget)
             img = pkg["render"]
             return p + 1e-30 * img.mean() + 0.01 * jnp.sin(
                 jnp.float32(i) + jnp.arange(69, dtype=jnp.float32))
@@ -152,8 +165,18 @@ def main():
         "reference_headline": "paper claims 60 FPS rendering "
                               "(arXiv:2311.17910)",
         "vs_60fps": round(fps / 60.0, 2),
+        "n_instances": n_inst,
+        "instance_budget": budget,
         "compile_s": round(compile_s, 1),
         "device": jax.devices()[0].platform,
+        "scale_out_note": "single-chip number; band(tile)-sharded "
+                          "rendering (parallel/shard.py::render_tile_"
+                          "sharded, == single-device to 1e-5) moves only "
+                          "one ~6 MB image all_gather per frame over ICI "
+                          "(~0.1 ms at 50 GB/s), so FPS scales "
+                          "near-linearly with chips in a slice; no "
+                          "multi-chip hardware reachable here to "
+                          "measure (SCALING.md)",
     }
     ev = os.path.join(os.path.dirname(__file__), "..", "evidence")
     with open(os.path.join(ev, "fps_bench_tpu.json"), "w") as fo:

@@ -47,9 +47,39 @@ def _latest(ckpt_dir: str, prefix: str):
     return os.path.join(ckpt_dir, sorted(cands, key=keyf)[-1])
 
 
+def _restore_checked(ckptr, path, template, what):
+    """Restore one train state, refusing shape mismatches.
+
+    A checkpoint written at a different static capacity (or model
+    config) restores cleanly through orbax but would silently swap the
+    run's fixed-capacity arrays for the checkpoint's — every jitted
+    step then retraces at the wrong capacity and the cfg lies about the
+    run. Fail loudly instead: auto-resume must only resume the SAME
+    run shape."""
+    restored = ckptr.restore(os.path.abspath(path),
+                             item=_to_numpy_tree(template))
+    bad = []
+
+    def chk(p, a, b):
+        if np.shape(a) != np.shape(b):
+            bad.append(f"{jax.tree_util.keystr(p)}: "
+                       f"ckpt {np.shape(b)} != run {np.shape(a)}")
+        return b
+    jax.tree_util.tree_map_with_path(chk, template, restored)
+    if bad:
+        raise ValueError(
+            f"checkpoint {path} does not match the current {what} state "
+            f"(different capacity/config?): " + "; ".join(bad[:5])
+            + (f" (+{len(bad) - 5} more)" if len(bad) > 5 else ""))
+    return jax.tree.map(lambda a, b: jax.numpy.asarray(b), template,
+                        restored)
+
+
 def load_latest(ckpt_dir: str, human=None, scene=None):
     """Restore into the structure of the given train states. Returns
-    (human, scene) with None for missing parts, or None if nothing found."""
+    (human, scene) with None for missing parts, or None if nothing
+    found. Raises ValueError if the latest checkpoint's array shapes do
+    not match the given states (e.g. a different static capacity)."""
     ckptr = ocp.PyTreeCheckpointer()
     h_path = _latest(ckpt_dir, "human")
     s_path = _latest(ckpt_dir, "scene")
@@ -57,11 +87,7 @@ def load_latest(ckpt_dir: str, human=None, scene=None):
         return None
     h = s = None
     if h_path is not None and human is not None:
-        h = ckptr.restore(os.path.abspath(h_path),
-                          item=_to_numpy_tree(human))
-        h = jax.tree.map(lambda a, b: jax.numpy.asarray(b), human, h)
+        h = _restore_checked(ckptr, h_path, human, "human")
     if s_path is not None and scene is not None:
-        s = ckptr.restore(os.path.abspath(s_path),
-                          item=_to_numpy_tree(scene))
-        s = jax.tree.map(lambda a, b: jax.numpy.asarray(b), scene, s)
+        s = _restore_checked(ckptr, s_path, scene, "scene")
     return h, s

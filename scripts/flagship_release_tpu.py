@@ -76,7 +76,11 @@ N_FLOOR = 64 if SMOKE else 8000
 N_BOX = 16 if SMOKE else 2000
 LPIPS_W = float(os.environ.get("FLAGSHIP_LPIPS", "0"))
 VAL_INTERVAL = 4 if SMOKE else 1000
-OUT = os.environ.get("FLAGSHIP_OUT", "/tmp/flagship_out")
+# fresh per-run output dir by default: the trainer AUTO-RESUMES from the
+# latest checkpoint in logdir_ckpt, so reusing a dir across differently-
+# shaped runs (e.g. after a smoke run) must be explicit, not accidental
+OUT = os.environ.get("FLAGSHIP_OUT",
+                     time.strftime("/tmp/flagship_out_%m%d_%H%M%S"))
 
 
 def gt_poses(f, n):

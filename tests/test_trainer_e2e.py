@@ -89,3 +89,28 @@ def test_trainer_resume(env):
     assert int(trainer2.scene.gs.n_alive) > 0
     m = trainer2.validate()
     assert np.isfinite(m["hugs_psnr"])
+
+
+def test_resume_refuses_mismatched_capacity(env, tmp_path):
+    """Auto-resume must fail LOUDLY when the latest checkpoint was
+    written at a different static capacity (a silent restore would swap
+    the run's fixed-capacity arrays and invalidate the config)."""
+    import jax.numpy as jnp
+    import pytest
+    from hugs_tpu.train import checkpoint as ckpt_io
+
+    class Dummy(dict):
+        pass
+
+    tmpl = {"xyz": jnp.zeros((8, 3)), "step": jnp.int32(0)}
+    ckpt_io.save(str(tmp_path), "000004", scene=tmpl)
+    # same shape: round-trips
+    out = ckpt_io.load_latest(str(tmp_path),
+                              scene={"xyz": jnp.ones((8, 3)),
+                                     "step": jnp.int32(7)})
+    assert out is not None and out[1]["xyz"].shape == (8, 3)
+    # different capacity: refused with a descriptive error
+    with pytest.raises(Exception, match="capacity|shape|match"):
+        ckpt_io.load_latest(str(tmp_path),
+                            scene={"xyz": jnp.zeros((16, 3)),
+                                   "step": jnp.int32(0)})

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from typing import Any
 
@@ -295,6 +296,7 @@ class GaussianTrainer:
                           f"iter {t_iter} — raise tpu.instance_budget "
                           f"(dropped Gaussian instances degrade quality)")
             self._periodic(t_iter, aux, data)
+        self._finish_progress_video()
         return log
 
     def _train_step(self, t_iter, idx, data, camera, gt, mask, W, H, bg,
@@ -445,8 +447,40 @@ class GaussianTrainer:
                 log.append(rec)
                 self._log_jsonl(rec)
             self._periodic(t_iter, aux, datas[0])
+        self._finish_progress_video()
         return log
 
+
+    def _save_progress_frame(self, t_iter, nframes=2, img_size=128):
+        """One labeled canonical-view strip into logdir/train_progress/
+        (reference render_canonical(..., is_train_progress=True),
+        gs_trainer.py:588-684 progress branch)."""
+        from hugs_tpu.data.cameras import get_rotating_camera, \
+            get_smpl_static_params
+        cams = get_rotating_camera(img_size=img_size, dist=5.0,
+                                   nframes=nframes)
+        sp = get_smpl_static_params(self.human.params.betas,
+                                    self.cfg.human.canon_pose_type)
+        frames = [np.asarray(
+            self.render_frame(dict(sp, **cp), render_mode="human")["render"])
+            for cp in cams]
+        save_image_grid(
+            frames, f"{self.cfg.logdir}/train_progress/{t_iter:06d}.png")
+
+    def _finish_progress_video(self):
+        """train_progress frames -> one video, then drop the frames
+        (reference gs_trainer.py:388-391)."""
+        cfg = self.cfg
+        if not (cfg.logdir and cfg.train.save_progress_images):
+            return
+        pdir = os.path.join(cfg.logdir, "train_progress")
+        if not os.path.isdir(pdir):
+            return
+        seq = cfg.dataset.get("seq", "")
+        seq = seq if isinstance(seq, str) else "-".join(map(str, seq))
+        create_video(pdir, os.path.join(
+            cfg.logdir, f"train_{cfg.dataset.name}_{seq}.mp4"), fps=10)
+        shutil.rmtree(pdir)
 
     def _log_jsonl(self, rec: dict):
         """Append one structured metrics record to logdir/metrics.jsonl
@@ -520,6 +554,19 @@ class GaussianTrainer:
                     [np.asarray(jnp.asarray(data["rgb"])),
                      np.asarray(pkg["render"])],
                     f"{cfg.logdir}/train/{t_iter:06d}.png")
+            if cfg.train.save_progress_images and t_iter > 0 \
+                    and t_iter % cfg.train.progress_save_interval == 0 \
+                    and cfg.mode in ("human", "human_scene") \
+                    and self.human is not None:
+                # canonical-avatar progress strip (reference
+                # gs_trainer.py:384-385 render_canonical
+                # is_train_progress=True); frames become the train
+                # progress video at the end of train()
+                try:
+                    self._save_progress_frame(t_iter)
+                except Exception as e:          # noqa: BLE001
+                    print(f"WARNING: progress image({t_iter}) failed "
+                          f"(continuing training): {e}")
             if t_iter > 0 and t_iter % cfg.train.save_ckpt_interval == 0:
                 self.save_ckpt(t_iter)
             # Periodic eval/anim are observability, not training state:

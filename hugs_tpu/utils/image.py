@@ -6,6 +6,7 @@ Replaces the reference's torchvision.save_image/make_grid usage
 """
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import subprocess
@@ -44,14 +45,39 @@ def save_image_grid(images: list, path: str, pad: int = 2,
 
 
 def create_video(img_dir: str, out_path: str, fps: int = 20) -> bool:
-    """ffmpeg frames->mp4 if ffmpeg exists; returns success."""
-    if shutil.which("ffmpeg") is None:
-        return False
-    cmd = ["ffmpeg", "-y", "-framerate", str(fps), "-pattern_type", "glob",
-           "-i", os.path.join(img_dir, "*.png"), "-c:v", "libx264",
-           "-pix_fmt", "yuv420p", out_path]
+    """Frames (img_dir/*.png) -> video at out_path; returns success.
+
+    ffmpeg/libx264 when available (the reference's path,
+    hugs/utils/general.py:86-92); falls back to cv2.VideoWriter (mp4v)
+    so environments without an ffmpeg binary still produce the
+    training/animation videos."""
+    if shutil.which("ffmpeg") is not None:
+        cmd = ["ffmpeg", "-y", "-framerate", str(fps), "-pattern_type",
+               "glob", "-i", os.path.join(img_dir, "*.png"),
+               "-c:v", "libx264", "-pix_fmt", "yuv420p", out_path]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=600)
+            return True
+        except Exception:
+            pass
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=600)
-        return True
+        import cv2
+        frames = sorted(glob.glob(os.path.join(img_dir, "*.png")))
+        if not frames:
+            return False
+        first = cv2.imread(frames[0])
+        h, w = first.shape[:2]
+        vw = cv2.VideoWriter(out_path,
+                             cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        if not vw.isOpened():
+            return False
+        for f in frames:
+            img = cv2.imread(f)
+            if img.shape[:2] != (h, w):
+                img = cv2.resize(img, (w, h))
+            vw.write(img)
+        vw.release()
+        return os.path.exists(out_path) and os.path.getsize(out_path) > 0
     except Exception:
         return False

@@ -114,3 +114,25 @@ def test_resume_refuses_mismatched_capacity(env, tmp_path):
         ckpt_io.load_latest(str(tmp_path),
                             scene={"xyz": jnp.zeros((16, 3)),
                                    "step": jnp.int32(0)})
+
+
+def test_progress_images_and_video(env):
+    """save_progress_images parity (reference gs_trainer.py:384-391):
+    periodic canonical strips into train_progress/, end-of-train video,
+    frames dropped."""
+    root, cfg = env
+    trainer, *_ = build_trainer(root, cfg)
+    old = cfg.train.save_progress_images
+    cfg.train.save_progress_images = True
+    try:
+        trainer._save_progress_frame(10, nframes=2, img_size=32)
+        pdir = os.path.join(cfg.logdir, "train_progress")
+        assert os.path.exists(os.path.join(pdir, "000010.png"))
+        trainer._finish_progress_video()
+        assert not os.path.isdir(pdir)
+        vids = [f for f in os.listdir(cfg.logdir) if f.startswith("train_")
+                and f.endswith(".mp4")]
+        assert vids, os.listdir(cfg.logdir)
+        assert os.path.getsize(os.path.join(cfg.logdir, vids[0])) > 0
+    finally:
+        cfg.train.save_progress_images = old

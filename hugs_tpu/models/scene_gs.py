@@ -72,10 +72,12 @@ def with_params(gs: SceneGS, params: dict) -> SceneGS:
 
 
 def create_from_pcd(points: jnp.ndarray, colors: jnp.ndarray, capacity: int,
-                    max_sh_degree: int = 3) -> SceneGS:
+                    max_sh_degree: int = 3,
+                    only_rgb: bool = False) -> SceneGS:
     """Initialize from a point cloud (reference create_from_pcd,
     scene.py:166-194): DC SH from RGB, log-scale from kNN density,
-    identity rotations, opacity 0.1."""
+    identity rotations, opacity 0.1. only_rgb stores raw colors in the
+    DC slot instead of RGB2SH (scene.py:170-173)."""
     n = points.shape[0]
     if n > capacity:
         raise ValueError(f"pcd has {n} points > capacity {capacity}")
@@ -91,7 +93,9 @@ def create_from_pcd(points: jnp.ndarray, colors: jnp.ndarray, capacity: int,
     rots = jnp.zeros((n, 4)).at[:, 0].set(1.0)
     return SceneGS(
         xyz=pad(jnp.asarray(points, jnp.float32)),
-        features_dc=pad(rgb_to_sh(jnp.asarray(colors, jnp.float32))[:, None, :]),
+        features_dc=pad(
+            (jnp.asarray(colors, jnp.float32) if only_rgb
+             else rgb_to_sh(jnp.asarray(colors, jnp.float32)))[:, None, :]),
         features_rest=jnp.zeros((capacity, K - 1, 3), jnp.float32),
         scaling=pad(scales, fill=-10.0),
         rotation=pad(rots).at[n:, 0].set(1.0),
@@ -104,16 +108,22 @@ def create_from_pcd(points: jnp.ndarray, colors: jnp.ndarray, capacity: int,
     )
 
 
-def scene_forward(gs: SceneGS) -> dict:
+def scene_forward(gs: SceneGS, only_rgb: bool = False) -> dict:
     """Activate parameters into the flat attribute dict the renderer takes
-    (reference forward, scene.py:147-160) + the alive capacity mask."""
+    (reference forward, scene.py:147-160) + the alive capacity mask.
+
+    only_rgb=True treats features_dc as a raw RGB color (reference
+    get_features, scene.py:130-137): 'shs' becomes (N, 3) which
+    project_gaussians consumes as a precomputed color, bypassing SH."""
     rot = gs.rotation / jnp.clip(
         jnp.linalg.norm(gs.rotation, axis=-1, keepdims=True), 1e-8)
+    shs = (gs.features_dc[:, 0, :] if only_rgb
+           else jnp.concatenate([gs.features_dc, gs.features_rest], axis=1))
     return {
         "xyz": gs.xyz,
         "scales": jnp.exp(gs.scaling),
         "rotq": rot,
-        "shs": jnp.concatenate([gs.features_dc, gs.features_rest], axis=1),
+        "shs": shs,
         "opacity": jax.nn.sigmoid(gs.opacity[:, 0]),
         "active_sh_degree": gs.active_sh_degree,
         "alive": gs.alive,

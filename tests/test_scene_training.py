@@ -133,3 +133,26 @@ def test_opacity_reset():
     op = jax.nn.sigmoid(state2.gs.opacity[:, 0])
     alive = np.asarray(state2.gs.alive)
     assert np.all(np.asarray(op)[alive] <= 0.0101)
+
+
+def test_only_rgb_mode():
+    """only_rgb stores raw RGB in the DC slot and scene_forward emits a
+    (N, 3) precomputed color which render() consumes bypassing SH
+    (reference scene.py:130-137,170-173)."""
+    import jax
+    import jax.numpy as jnp
+    from hugs_tpu.models import scene_gs as sgs
+    from hugs_tpu.render import render, make_camera
+
+    pts = jnp.array([[0.0, 0.0, 3.0], [0.3, 0.1, 3.5], [-0.2, 0.2, 4.0]])
+    cols = jnp.array([[0.9, 0.1, 0.1], [0.1, 0.9, 0.1], [0.1, 0.1, 0.9]])
+    gs = sgs.create_from_pcd(pts, cols, capacity=8, only_rgb=True)
+    np.testing.assert_allclose(np.asarray(gs.features_dc[:3, 0]),
+                               np.asarray(cols), atol=1e-6)
+    out = sgs.scene_forward(gs, only_rgb=True)
+    assert out["shs"].shape == (8, 3)
+    cam = make_camera(jnp.eye(3), jnp.zeros(3), 0.8, 0.6)
+    img = render(out["xyz"], out["scales"], out["rotq"], out["opacity"],
+                 out["shs"], cam, 32, 24, alive=out["alive"],
+                 instance_budget=4096, tile_cap=64)["render"]
+    assert np.isfinite(np.asarray(img)).all()

@@ -89,26 +89,53 @@ def _distill_step(tstate: HumanTrainState, targets: dict, lr: jnp.ndarray,
     return tstate._replace(params=hgs.HumanGS(**new_params), opt=new_opt), loss
 
 
+@partial(jax.jit, static_argnames=("cfg", "n"))
+def _distill_block(tstate: HumanTrainState, targets: dict,
+                   sched: jnp.ndarray, cfg: hgs.HumanGSConfig, n: int):
+    """n distillation steps in ONE device dispatch, with the
+    ReduceLROnPlateau(patience=1000, factor=0.5) bookkeeping carried
+    on-device (sched = (best, patience, lr)). A per-step host read of
+    the loss costs a full relay round trip in this environment (~90 ms,
+    measured; see the r3 trainer fix) — 7000 of them dominated the
+    whole init-distillation wall clock."""
+    def body(carry, _):
+        ts, best, patience, lr = carry
+        ts, loss = _distill_step(ts, targets, lr, cfg)
+        improved = loss < best - 1e-9
+        best = jnp.minimum(best, loss)
+        patience = jnp.where(improved, 0, patience + 1)
+        drop = patience > 1000
+        lr = jnp.where(drop, lr * 0.5, lr)
+        patience = jnp.where(drop, 0, patience)
+        return (ts, best, patience, lr), loss
+
+    (tstate, best, patience, lr), losses = jax.lax.scan(
+        body, (tstate, sched[0], sched[1].astype(jnp.int32),
+               sched[2]), None, length=n)
+    return tstate, jnp.stack([best, patience.astype(jnp.float32), lr]), \
+        losses
+
+
 def distill_init(params: hgs.HumanGS, state: hgs.HumanGSState,
                  init_values: dict, cfg: hgs.HumanGSConfig,
                  num_steps: int = 7000, lr: float = 1e-3,
-                 log_every: int = 0):
-    """Init distillation loop (reference optimize_init). Returns params."""
+                 log_every: int = 0, block: int = 500):
+    """Init distillation loop (reference optimize_init,
+    hugs/utils/init_opt.py:12-70 semantics incl. the plateau LR decay).
+    Returns params. Runs in `block`-step jitted scans — one host sync
+    per block, not per step."""
     targets = {k: v for k, v in init_values.items() if k != "edges"}
     tstate = init_human_train_state(params, state)
-    best, patience_ctr, cur_lr = jnp.inf, 0, lr
-    for i in range(num_steps):
-        tstate, loss = _distill_step(tstate, targets, jnp.float32(cur_lr), cfg)
-        lv = float(loss)
-        if lv < best - 1e-9:
-            best, patience_ctr = lv, 0
-        else:
-            patience_ctr += 1
-            if patience_ctr > 1000:     # ReduceLROnPlateau(patience=1000)
-                cur_lr *= 0.5
-                patience_ctr = 0
-        if log_every and i % log_every == 0:
-            print(f"distill {i:05d}: {lv:.6f}")
+    sched = jnp.array([jnp.inf, 0.0, lr], jnp.float32)
+    done = 0
+    while done < num_steps:
+        n = min(block, num_steps - done)
+        tstate, sched, losses = _distill_block(tstate, targets, sched,
+                                               cfg, n)
+        done += n
+        if log_every:
+            print(f"distill {done:05d}: loss {float(losses[-1]):.6f} "
+                  f"lr {float(sched[2]):.2e}")
     return tstate.params
 
 

@@ -90,6 +90,33 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     return jnp.mean(ssim_map)
 
 
+def ssim_masked(img1: jnp.ndarray, img2: jnp.ndarray, valid: jnp.ndarray,
+                n_valid: jnp.ndarray, window_size: int = 11,
+                sigma: float = 1.5) -> jnp.ndarray:
+    """Mean SSIM over a rectangular valid region of (C, H, W) inputs.
+
+    Inputs must be ZEROED outside `valid` ((1, H, W) or (C, H, W) bool).
+    For a rectangular region this equals plain `ssim` computed on the
+    cropped rectangle exactly: windows that cross the region edge see
+    zeros here, and the reference's crop-SSIM zero-pads its conv the
+    same way (hugs/losses/utils.py:62-75 'same' padding). Lets crop
+    metrics run at a STATIC bucketed shape — one XLA compile per bucket
+    instead of one per bbox (minutes each through this environment's
+    remote-compile relay)."""
+    w = _gaussian_window(window_size, sigma)
+    mu1 = _depthwise_blur(img1, w)
+    mu2 = _depthwise_blur(img2, w)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _depthwise_blur(img1 * img1, w) - mu1_sq
+    sigma2_sq = _depthwise_blur(img2 * img2, w) - mu2_sq
+    sigma12 = _depthwise_blur(img1 * img2, w) - mu1_mu2
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))
+    return jnp.sum(jnp.where(valid, ssim_map, 0.0)) / (
+        img1.shape[0] * jnp.maximum(n_valid, 1))
+
+
 def total_variation_loss(img: jnp.ndarray,
                          mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Anisotropic TV (reference losses/utils.py:23-51)."""

@@ -33,7 +33,7 @@ from hugs_tpu.models import human_gs as hgs
 from hugs_tpu.models.smpl import load_smpl, synthetic_smpl
 from hugs_tpu.models.subdivide import subdivide_smpl_model
 from hugs_tpu.render import render_human_scene
-from hugs_tpu.losses import HumanSceneLoss, LPIPS, psnr, ssim
+from hugs_tpu.losses import HumanSceneLoss, LPIPS, psnr, ssim, ssim_masked
 
 from hugs_tpu.train.scene_step import (
     init_scene_train_state, scene_train_step,
@@ -67,6 +67,7 @@ class GaussianTrainer:
         self.eval_metrics: dict[str, Any] = {}
         self.rng = np.random.RandomState(cfg.seed)
         self.key = jax.random.PRNGKey(cfg.seed)
+        self._crop_metric_cache: dict = {}
 
         self.bg_color = jnp.ones(3) if cfg.bg_color == "white" \
             else jnp.zeros(3)
@@ -629,6 +630,103 @@ class GaussianTrainer:
 
     # ------------------------------------------------------ validation
 
+    def _human_crop_metrics(self, img, gt, x0, y0, h, w):
+        """Human-crop PSNR/SSIM/LPIPS at a STATIC bucketed shape.
+
+        The reference crops img[x0:x1+1, y0:y1+1] per frame
+        (gs_trainer.py:513-521) — a different static shape per bbox,
+        i.e. a fresh XLA compile per val frame (measured ~80 s/frame
+        through this environment's remote-compile relay). Instead:
+        dynamic_slice a bucket-rounded window (64-px buckets, one
+        compile per bucket pair), zero both images outside the true
+        bbox, and compute count-normalized metrics. PSNR and SSIM are
+        EXACT (zero padding contributes nothing / matches the
+        reference's own zero-padded 'same' conv); LPIPS is computed on
+        the zeroed bucket with the spatial mean rescaled to the true
+        area — approximate at the pad boundary, documented (and already
+        `_uncalibrated` without pretrained weights)."""
+        H, W = img.shape[1], img.shape[2]
+        bh = min(-(-h // 64) * 64, H)
+        bw = min(-(-w // 64) * 64, W)
+        key = (bh, bw)
+        fn = self._crop_metric_cache.get(key)
+        if fn is None:
+            @jax.jit
+            def fn(img, gt, x0, y0, h, w, lp):
+                xs = jnp.clip(x0, 0, H - bh)
+                ys = jnp.clip(y0, 0, W - bw)
+                a = jax.lax.dynamic_slice(img, (0, xs, ys), (3, bh, bw))
+                b = jax.lax.dynamic_slice(gt, (0, xs, ys), (3, bh, bw))
+                rows = jnp.arange(bh)[None, :, None]
+                cols = jnp.arange(bw)[None, None, :]
+                valid = ((rows >= x0 - xs) & (rows < x0 - xs + h)
+                         & (cols >= y0 - ys) & (cols < y0 - ys + w))
+                a = jnp.where(valid, a, 0.0)
+                b = jnp.where(valid, b, 0.0)
+                n_valid = (h * w).astype(jnp.float32)
+                mse = jnp.sum((a - b) ** 2) / (3.0 * n_valid)
+                p = 20.0 * jnp.log10(
+                    1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+                s = ssim_masked(a, b, valid, n_valid)
+                lpv = lp(jnp.clip(a, max=1.0)[None], b[None])[0] \
+                    * (bh * bw) / n_valid
+                return p, s, lpv
+            self._crop_metric_cache[key] = fn
+        return fn(img, gt, jnp.int32(x0), jnp.int32(y0), jnp.int32(h),
+                  jnp.int32(w), self.lpips)
+
+    def _val_frame(self, data, bg):
+        """One eval frame — render + full-image PSNR/SSIM/LPIPS — as a
+        SINGLE jitted call (cached per (mode, W, H)).
+
+        Eager evaluation here costs one remote dispatch per XLA op in
+        this environment (~85 ms each through the TPU-tunnel relay;
+        projection+binning+SSIM+VGG ≈ hundreds of ops ≈ ~80 s/frame,
+        measured) — and on any hardware it forfeits fusion. The reference
+        has no such boundary (torch eager on-device, gs_trainer.py:448-537)."""
+        W, H = data["width"], data["height"]
+        mode = self.cfg.mode if (self.scene is not None
+                                 or self.cfg.mode != "human_scene") \
+            else "human"
+        key = ("val", mode, W, H)
+        fn = self._crop_metric_cache.get(key)
+        if fn is None:
+            fixed, hcfg, rkw = self.fixed, self.human_cfg, self._render_kw()
+
+            @jax.jit
+            def fn(h_params, h_state, s_gs, camera, go, bp, betas, transl,
+                   smpl_scale, gt, bg, lp):
+                h_out = s_out = None
+                if mode in ("human", "human_scene"):
+                    h_out = hgs.human_forward(
+                        h_params, h_state, fixed, hcfg, global_orient=go,
+                        body_pose=bp, betas=betas, transl=transl,
+                        smpl_scale=smpl_scale, dataset_idx=0,
+                        compute_gt_lbs=False)
+                if mode in ("scene", "human_scene"):
+                    s_out = sgs.scene_forward(s_gs)
+                pkg = render_human_scene(
+                    {"camera": camera, "width": W, "height": H},
+                    h_out, s_out, bg_color=bg, render_mode=mode, **rkw)
+                img = pkg["render"]
+                p = psnr(img, gt)
+                s = ssim(img, gt)
+                l = lp(jnp.clip(img, max=1.0)[None], gt[None])[0]
+                return img, p, s, l
+            self._crop_metric_cache[key] = fn
+        hp = self.human.params if self.human is not None else None
+        hs = self.human.state if self.human is not None else None
+        sg = self.scene.gs if self.scene is not None else None
+        z3 = jnp.zeros(3)
+        return fn(hp, hs, sg, data["camera"],
+                  jnp.asarray(data.get("global_orient", z3)),
+                  jnp.asarray(data.get("body_pose", jnp.zeros(69))),
+                  jnp.asarray(data.get("betas", jnp.zeros(10))),
+                  jnp.asarray(data.get("transl", z3)),
+                  jnp.asarray(data.get("smpl_scale", 1.0),
+                              jnp.float32).reshape(()),
+                  jnp.asarray(data["rgb"]), bg, self.lpips)
+
     def validate(self, t_iter=None):
         cfg = self.cfg
         iter_s = "final" if t_iter is None else f"{t_iter:06d}"
@@ -641,27 +739,23 @@ class GaussianTrainer:
 
         for idx in range(len(self.val_dataset)):
             data = self.val_dataset[idx]
-            pkg = self.render_frame(data, bg=bg)
-            img = pkg["render"]
+            img, p_full, s_full, l_full = self._val_frame(data, bg)
             gt = jnp.asarray(data["rgb"])
-            metrics.setdefault("hugs_psnr", []).append(float(psnr(img, gt)))
-            metrics.setdefault("hugs_ssim", []).append(float(ssim(img, gt)))
-            metrics.setdefault(lp_key, []).append(
-                float(self.lpips(jnp.clip(img, max=1.0)[None],
-                                 gt[None])[0]))
+            metrics.setdefault("hugs_psnr", []).append(float(p_full))
+            metrics.setdefault("hugs_ssim", []).append(float(s_full))
+            metrics.setdefault(lp_key, []).append(float(l_full))
             if cfg.mode in ("human", "human_scene") and "bbox" in data:
                 x0, y0, x1, y1 = [int(v) for v in np.asarray(data["bbox"])]
-                crop = img[:, x0:x1 + 1, y0:y1 + 1]
-                gcrop = gt[:, x0:x1 + 1, y0:y1 + 1]
-                if min(crop.shape[1:]) >= 8:
+                h, w = x1 - x0 + 1, y1 - y0 + 1
+                if min(h, w) >= 8:
+                    p, s, lp = self._human_crop_metrics(img, gt, x0, y0,
+                                                        h, w)
                     metrics.setdefault("hugs_human_psnr", []).append(
-                        float(psnr(crop, gcrop)))
+                        float(p))
                     metrics.setdefault("hugs_human_ssim", []).append(
-                        float(ssim(crop, gcrop)))
+                        float(s))
                     metrics.setdefault(lp_key.replace(
-                        "hugs_", "hugs_human_"), []).append(
-                        float(self.lpips(jnp.clip(crop, max=1.0)[None],
-                                         gcrop[None])[0]))
+                        "hugs_", "hugs_human_"), []).append(float(lp))
             if cfg.logdir:
                 save_image_grid(
                     [np.asarray(gt), np.asarray(img)],

@@ -136,3 +136,27 @@ def test_progress_images_and_video(env):
         assert os.path.getsize(os.path.join(cfg.logdir, vids[0])) > 0
     finally:
         cfg.train.save_progress_images = old
+
+
+def test_bucketed_crop_metrics_match_dynamic_crop(env):
+    """_human_crop_metrics (static bucketed shapes, one compile per
+    bucket) must equal the reference's dynamic crop metrics exactly for
+    PSNR and SSIM (gs_trainer.py:513-521 semantics)."""
+    import jax.numpy as jnp
+    from hugs_tpu.losses import psnr, ssim
+
+    root, cfg = env
+    trainer, *_ = build_trainer(root, cfg)
+    rng = np.random.RandomState(5)
+    H, W = 96, 128
+    img = jnp.asarray(rng.rand(3, H, W).astype(np.float32))
+    gt = jnp.asarray(rng.rand(3, H, W).astype(np.float32))
+    for (x0, y0, h, w) in [(10, 20, 37, 51), (0, 0, 96, 128),
+                           (60, 90, 36, 38), (5, 5, 9, 9)]:
+        p, s, _ = trainer._human_crop_metrics(img, gt, x0, y0, h, w)
+        crop = img[:, x0:x0 + h, y0:y0 + w]
+        gcrop = gt[:, x0:x0 + h, y0:y0 + w]
+        np.testing.assert_allclose(float(p), float(psnr(crop, gcrop)),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(s), float(ssim(crop, gcrop)),
+                                   rtol=1e-5, atol=1e-6)

@@ -688,7 +688,10 @@ class GaussianTrainer:
         mode = self.cfg.mode if (self.scene is not None
                                  or self.cfg.mode != "human_scene") \
             else "human"
-        key = ("val", mode, W, H)
+        # keyed on the live instance budget: auto-grow (_check_budget)
+        # must invalidate the cached closure, not silently render eval
+        # frames at the stale smaller budget
+        key = ("val", mode, W, H, self._ibudget)
         fn = self._crop_metric_cache.get(key)
         if fn is None:
             fixed, hcfg, rkw = self.fixed, self.human_cfg, self._render_kw()

@@ -615,18 +615,55 @@ class GaussianTrainer:
 
     def render_frame(self, data, render_mode=None, bg=None, ext_tfs=None,
                      use_dataset_pose=True):
+        """Render one frame through a cached JITTED closure (one XLA
+        dispatch; keyed on mode/size/budget/ext-structure). The eager
+        path costs one remote dispatch per op through this environment's
+        TPU-tunnel relay (~80 s/frame at 540p, measured during
+        validate) and forfeits fusion everywhere else."""
         render_mode = render_mode or self.cfg.mode
-        h_out, s_out = self.forward_models(data, ext_tfs=ext_tfs,
-                                           use_dataset_pose=use_dataset_pose)
-        if render_mode == "human_scene" and s_out is None:
+        if render_mode == "human_scene" and self.scene is None:
             render_mode = "human"
-        pkg = render_human_scene(
-            {"camera": data["camera"], "width": data["width"],
-             "height": data["height"]},
-            h_out, s_out,
-            bg_color=self.bg_color if bg is None else bg,
-            render_mode=render_mode, **self._render_kw())
-        return pkg
+        if self.human is None and render_mode != "scene":
+            render_mode = "scene"
+        W, H = data["width"], data["height"]
+        key = ("rf", render_mode, W, H, self._ibudget,
+               ext_tfs is not None, use_dataset_pose)
+        fn = self._crop_metric_cache.get(key)
+        if fn is None:
+            fixed, hcfg, rkw = self.fixed, self.human_cfg, self._render_kw()
+            mode = render_mode
+
+            @jax.jit
+            def fn(h_params, h_state, s_gs, camera, go, bp, betas, transl,
+                   smpl_scale, didx, ext, bgc):
+                h_out = s_out = None
+                if mode in ("human", "human_scene"):
+                    pose_kw = dict(global_orient=go, body_pose=bp,
+                                   betas=betas, transl=transl) \
+                        if use_dataset_pose else {}
+                    h_out = hgs.human_forward(
+                        h_params, h_state, fixed, hcfg,
+                        smpl_scale=smpl_scale, dataset_idx=didx,
+                        ext_tfs=ext, compute_gt_lbs=False, **pose_kw)
+                if mode in ("scene", "human_scene"):
+                    s_out = sgs.scene_forward(s_gs)
+                return render_human_scene(
+                    {"camera": camera, "width": W, "height": H},
+                    h_out, s_out, bg_color=bgc, render_mode=mode, **rkw)
+            self._crop_metric_cache[key] = fn
+        z3 = jnp.zeros(3)
+        return fn(self.human.params if self.human is not None else None,
+                  self.human.state if self.human is not None else None,
+                  self.scene.gs if self.scene is not None else None,
+                  data["camera"],
+                  jnp.asarray(data.get("global_orient", z3)),
+                  jnp.asarray(data.get("body_pose", jnp.zeros(69))),
+                  jnp.asarray(data.get("betas", jnp.zeros(10))),
+                  jnp.asarray(data.get("transl", z3)),
+                  jnp.asarray(data.get("smpl_scale", 1.0),
+                              jnp.float32).reshape(()),
+                  jnp.int32(0), ext_tfs,
+                  self.bg_color if bg is None else bg)
 
     # ------------------------------------------------------ validation
 

@@ -182,6 +182,9 @@ def default_config() -> Config:
             "tile_cap": 1024,
             "mesh_shape": [1],              # device mesh (data/tile axes)
             "lpips_weights": "",           # path to converted lpips .npz
+            "smpl_vpb": 32,                # synthetic-SMPL fallback size
+            #   (verts per bone) when no data/smpl exists — recorded so
+            #   evaluate.py reconstructs the SAME body the run trained
         },
     })
 

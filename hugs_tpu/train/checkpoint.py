@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import re
+import warnings
 
 import jax
 import numpy as np
@@ -47,6 +48,14 @@ def _latest(ckpt_dir: str, prefix: str):
     return os.path.join(ckpt_dir, sorted(cands, key=keyf)[-1])
 
 
+# Per-FRAME learned parameters (leading axis = len(train_dataset)): an
+# eval-time trainer has no train split, so these legitimately differ in
+# shape. Validation uses the dataset's SMPL parameters, not these
+# (reference gs_trainer.py:468-477), so keeping the template values is
+# correct — everything else must match exactly.
+_PER_FRAME_KEYS = ("global_orient", "body_pose", "transl")
+
+
 def _restore_checked(ckptr, path, template, what):
     """Restore one train state, refusing shape mismatches.
 
@@ -55,24 +64,33 @@ def _restore_checked(ckptr, path, template, what):
     run's fixed-capacity arrays for the checkpoint's — every jitted
     step then retraces at the wrong capacity and the cfg lies about the
     run. Fail loudly instead: auto-resume must only resume the SAME
-    run shape."""
+    run shape. Per-frame pose parameters (_PER_FRAME_KEYS) are the one
+    tolerated mismatch (kept at template values, with a warning)."""
     restored = ckptr.restore(os.path.abspath(path),
                              item=_to_numpy_tree(template))
     bad = []
 
     def chk(p, a, b):
-        if np.shape(a) != np.shape(b):
-            bad.append(f"{jax.tree_util.keystr(p)}: "
-                       f"ckpt {np.shape(b)} != run {np.shape(a)}")
+        if np.shape(a) == np.shape(b):
+            return b
+        keys = jax.tree_util.keystr(p)
+        if any(k in keys for k in _PER_FRAME_KEYS):
+            warnings.warn(
+                f"checkpoint {what}{keys}: per-frame params "
+                f"{np.shape(b)} don't fit this trainer's {np.shape(a)} "
+                f"(different split length); keeping initial values — "
+                f"dataset SMPL parameters drive eval", stacklevel=2)
+            return np.asarray(a)
+        bad.append(f"{keys}: ckpt {np.shape(b)} != run {np.shape(a)}")
         return b
-    jax.tree_util.tree_map_with_path(chk, template, restored)
+    merged = jax.tree_util.tree_map_with_path(chk, template, restored)
     if bad:
         raise ValueError(
             f"checkpoint {path} does not match the current {what} state "
             f"(different capacity/config?): " + "; ".join(bad[:5])
             + (f" (+{len(bad) - 5} more)" if len(bad) > 5 else ""))
     return jax.tree.map(lambda a, b: jax.numpy.asarray(b), template,
-                        restored)
+                        merged)
 
 
 def load_latest(ckpt_dir: str, human=None, scene=None):

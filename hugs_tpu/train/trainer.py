@@ -86,7 +86,8 @@ class GaussianTrainer:
             if smpl is None:
                 smpl_dir = os.path.join(cfg.dataset_path or "data", "smpl")
                 smpl = (load_smpl(smpl_dir) if os.path.exists(smpl_dir)
-                        else synthetic_smpl())
+                        else synthetic_smpl(verts_per_bone=int(
+                            cfg.tpu.get("smpl_vpb", 32) or 32)))
             template = smpl
             if cfg.human.n_subdivision > 0:
                 template = subdivide_smpl_model(
@@ -136,13 +137,19 @@ class GaussianTrainer:
         # ---- scene model ----
         self.scene = None
         if cfg.mode in ("scene", "human_scene"):
-            if train_dataset is not None:
-                pts, cols = train_dataset.init_pcd
-                self.scene_extent = train_dataset.radius
+            pcd_src = train_dataset if train_dataset is not None \
+                else (val_dataset if val_dataset is not None
+                      and hasattr(val_dataset, "init_pcd") else None)
+            if pcd_src is not None:
+                pts, cols = pcd_src.init_pcd
+                self.scene_extent = pcd_src.radius
             else:
+                # datasetless construction (tests): tiny placeholder —
+                # it must not inflate the capacity past the config,
+                # which would make checkpoint restore refuse
                 pts = np.random.RandomState(0).uniform(
-                    -3, 3, (1024, 3)).astype(np.float32) + [0, 0, 4]
-                cols = np.full((1024, 3), 0.5, np.float32)
+                    -3, 3, (8, 3)).astype(np.float32) + [0, 0, 4]
+                cols = np.full((8, 3), 0.5, np.float32)
                 self.scene_extent = 4.0
             cap = cfg.tpu.scene_capacity or int(cfg.scene.max_n_gaussians)
             cap = max(cap, pts.shape[0])

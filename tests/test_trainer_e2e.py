@@ -200,3 +200,33 @@ def test_evaluate_cli_flow(env, tmp_path, monkeypatch):
     with open(res) as f:
         out = json.load(f)
     assert "hugs_psnr" in out and np.isfinite(out["hugs_psnr"])
+
+
+def test_main_cli_flow(tmp_path):
+    """main.py end to end on the synthetic dataset: logdir setup, train,
+    results_train.json, validate, results_eval.json, canonical render
+    (reference main.py:60-83 flow)."""
+    import main as main_mod
+    from hugs_tpu.cfg import load_config
+
+    root = str(tmp_path / "neuman")
+    write_fake_neuman(root, n_frames=10, w=48, h=32)
+    cfg = load_config(None, [
+        "mode=human_scene", f"dataset_path={root}", "dataset.seq=lab",
+        f"output_path={tmp_path / 'out'}", "exp_name=cli_smoke",
+        "train.num_steps=4", "train.save_ckpt_interval=100",
+        "train.val_interval=100", "human.triplane_res=16",
+        "human.n_subdivision=0", "human.use_deformer=true",
+        "human.disable_posedirs=true", "human.loss.lpips_w=0.0",
+        "human.loss.patch_size=16", "human.run_init=false",
+        "human.canon_nframes=2", "tpu.scene_capacity=256",
+        "tpu.human_capacity=512", "tpu.tile_cap=256",
+        "tpu.instance_budget=16384", "tpu.smpl_vpb=8",
+    ])
+    rc = main_mod.main(cfg)
+    assert rc == 0
+    assert os.path.exists(os.path.join(cfg.logdir, "results_train.json"))
+    with open(os.path.join(cfg.logdir, "results_eval.json")) as f:
+        out = json.load(f)
+    assert np.isfinite(out["hugs_psnr"])
+    assert os.path.exists(os.path.join(cfg.logdir, "config_train.yaml"))

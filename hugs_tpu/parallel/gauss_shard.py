@@ -42,8 +42,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from hugs_tpu.render.camera import Camera
 from hugs_tpu.render.project import project_gaussians, ProjectedGaussians
-from hugs_tpu.render.tiles import (TileBins, bin_gaussians, pltpu_bits,
-                                   tile_grid, TILE)
+from hugs_tpu.render.tiles import (ALIGN, TileBins, bin_gaussians,
+                                   pltpu_bits, tile_grid, TILE)
 from hugs_tpu.render.blend import blend_tiles, tile_overflow
 from hugs_tpu.parallel.shard import _band_height
 
@@ -62,6 +62,7 @@ def render_gauss_sharded(
     tile_cap: int = 1024,
     tile: int = TILE,
     axis: str = "gauss",
+    backend: str = "tiled",
 ):
     """Differentiable Gaussian-sharded render.
 
@@ -169,23 +170,68 @@ def render_gauss_sharded(
         mean2d_loc = f_sorted[:, :2] - jnp.stack(
             [jnp.zeros_like(y0), y0])
         nfrag = t_sorted.shape[0]
-        pg_frag = ProjectedGaussians(
-            mean2d=mean2d_loc, conic=f_sorted[:, 2:5],
-            depth=jnp.zeros(nfrag), radius=f_sorted[:, 9],
-            rgb=f_sorted[:, 5:8], opacity=f_sorted[:, 8],
-            mask=t_sorted < tpd)
-        zi = jnp.zeros((), jnp.int32)
-        bins_frag = TileBins(
-            gauss_id=jnp.arange(nfrag, dtype=jnp.int32),
-            starts=f_starts, ends=f_ends,
-            n_instances=zi, aligned_total=zi,
-            overflowed=jnp.bool_(False))
-        img = blend_tiles(pg_frag, bins_frag, width, band_h, bg,
-                          tile_cap, tile)                # (3, band_h, W)
+        frag_mask = t_sorted < tpd
+        if backend == "pallas":
+            # Re-layout the densely tile-packed fragments into
+            # ALIGN(=128)-aligned per-tile segments (the Pallas blend
+            # DMA-streams CHUNK-aligned slices; same scatter+cummax
+            # trick as tiles.bin_gaussians) and reuse the single-chip
+            # kernel wholesale: pg_frag carries a feature-major feat
+            # cache built straight from the received fragment rows, and
+            # gauss_id maps aligned slots back to fragment indices.
+            fcounts = f_ends - f_starts
+            seg = ((fcounts + ALIGN - 1) // ALIGN) * ALIGN
+            astarts = (jnp.cumsum(seg) - seg).astype(jnp.int32)
+            i_align = nfrag + ALIGN * tpd
+            delta = astarts - f_starts           # (tpd,) non-decreasing
+            mark_pos = jnp.where(fcounts > 0, f_starts, nfrag)
+            dmarks = jnp.zeros(nfrag, jnp.int32).at[mark_pos].max(
+                delta, mode="drop")
+            newpos = jnp.arange(nfrag, dtype=jnp.int32) \
+                + jax.lax.cummax(dmarks)
+            newpos = jnp.where(frag_mask, newpos, i_align)
+            gauss_al = jnp.zeros(i_align, jnp.int32).at[newpos].set(
+                jnp.arange(nfrag, dtype=jnp.int32), mode="drop")
+            # feat rows r g b op mx my ca cb cc rad (pallas F_* order)
+            feat = jnp.stack(
+                [f_sorted[:, 5], f_sorted[:, 6], f_sorted[:, 7],
+                 jnp.where(frag_mask, f_sorted[:, 8], 0.0),
+                 mean2d_loc[:, 0], mean2d_loc[:, 1],
+                 f_sorted[:, 2], f_sorted[:, 3], f_sorted[:, 4],
+                 f_sorted[:, 9]], axis=0)        # (10, nfrag)
+            pg_frag = ProjectedGaussians(
+                mean2d=mean2d_loc, conic=f_sorted[:, 2:5],
+                depth=jnp.zeros(nfrag), radius=f_sorted[:, 9],
+                rgb=f_sorted[:, 5:8], opacity=f_sorted[:, 8],
+                mask=frag_mask, feat=feat)
+            bins_frag = TileBins(
+                gauss_id=gauss_al, starts=astarts,
+                ends=astarts + fcounts,
+                n_instances=jnp.sum(fcounts),
+                aligned_total=astarts[-1] + seg[-1],
+                overflowed=jnp.bool_(False))
+            from hugs_tpu.render.pallas_blend import blend_tiles_pallas
+            img = blend_tiles_pallas(pg_frag, bins_frag, width, band_h,
+                                     bg, tile)           # (3, band_h, W)
+            cap_over = jnp.bool_(False)          # no per-tile cap here
+        else:
+            zi = jnp.zeros((), jnp.int32)
+            pg_frag = ProjectedGaussians(
+                mean2d=mean2d_loc, conic=f_sorted[:, 2:5],
+                depth=jnp.zeros(nfrag), radius=f_sorted[:, 9],
+                rgb=f_sorted[:, 5:8], opacity=f_sorted[:, 8],
+                mask=frag_mask)
+            bins_frag = TileBins(
+                gauss_id=jnp.arange(nfrag, dtype=jnp.int32),
+                starts=f_starts, ends=f_ends,
+                n_instances=zi, aligned_total=zi,
+                overflowed=jnp.bool_(False))
+            img = blend_tiles(pg_frag, bins_frag, width, band_h, bg,
+                              tile_cap, tile)            # (3, band_h, W)
+            cap_over = tile_overflow(bins_frag, tile_cap)
 
         overflow = jax.lax.psum(
-            (bins.overflowed | send_overflow
-             | tile_overflow(bins_frag, tile_cap)).astype(jnp.int32),
+            (bins.overflowed | send_overflow | cap_over).astype(jnp.int32),
             axis) > 0
         return img, sent_counts[None], overflow
 

@@ -48,7 +48,17 @@ INTERPRET = jax.devices()[0].platform != "tpu"
 
 
 def _kernel(x_ref, o_ref, *, mode, inner):
-    x = x_ref[...]                       # (P, CHUNK) f32
+    # Accumulate into the (shared) output block: the loop-carried
+    # read-modify-write forces Mosaic to execute every grid iteration
+    # (with a constant write, identical iterations writing one block
+    # can legally collapse — measured: "1736 T op/s").
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    x = x_ref[...] + o_ref[...] * 1e-20  # (P, CHUNK) f32, carries dep
     if mode == "fma":
         # 4 independent chains x inner iterations x 2 ops (mul+add)
         a0 = x
@@ -60,21 +70,21 @@ def _kernel(x_ref, o_ref, *, mode, inner):
             a1 = a1 * 0.999999 + 0.2
             a2 = a2 * 1.000002 + 0.1
             a3 = a3 * 0.999998 + 0.4
-        o_ref[...] = a0 + a1 + a2 + a3
+        o_ref[...] += a0 + a1 + a2 + a3
         # ops per element: inner * 8 (+7 setup, ignored)
     elif mode == "serial":
         a = x
         for _ in range(inner * 4):
             a = a * 1.000001 + 0.1       # one dependent chain
-        o_ref[...] = a
+        o_ref[...] += a
         # ops per element: inner * 8
     else:  # blendmix — the fwd blend per-pair arithmetic, data-flow
         #         faithful (compare _chunk_alpha + the log-T prefix)
         acc = x * 0.0
         logt = x * 0.0
-        for i in range(inner):
-            dx = x + float(i)
-            dy = x - float(i)
+        for k in range(inner):
+            dx = x + float(k)
+            dy = x - float(k)
             power = -0.5 * (1e-2 * dx * dx + 1e-2 * dy * dy) \
                 - 1e-3 * (dx * dy)                     # 8 ops
             alpha = jnp.minimum(0.99, 0.7 * jnp.exp(
@@ -85,11 +95,11 @@ def _kernel(x_ref, o_ref, *, mode, inner):
             w = jnp.exp(logt) * alpha                  # exp + 1
             acc = acc + w                              # 1
             logt = logt + la                           # 1
-        o_ref[...] = acc + logt
+        o_ref[...] += acc + logt
         # ops per element-iter: ~18 arith + 3 transcendental
 
 
-def build(mode):
+def build(mode, reps):
     kern = functools.partial(_kernel, mode=mode, inner=INNER)
     call = pl.pallas_call(
         kern,
@@ -104,8 +114,22 @@ def build(mode):
     def run(x):
         def body(_, v):
             return call(v) * 1e-6        # data-chain reps
-        return jax.lax.fori_loop(0, REPS, body, x)
+        # reduce to ONE scalar so the caller can np.asarray() it — a
+        # host readback is the only sync this environment's relay PJRT
+        # honors (block_until_ready returned in 0.1 ms for a 100 ms
+        # kernel: measured "1888 T op/s")
+        return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
     return run
+
+
+def timed(run, x, n):
+    """Best-of-n wall time of run(x) synced by a scalar host readback."""
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        float(np.asarray(run(x)))
+        best = min(best, time.time() - t0)
+    return best
 
 
 def ops_per_elem(mode):
@@ -120,17 +144,23 @@ def main():
     x = jnp.linspace(0.0, 1.0, P * CHUNK).reshape(P, CHUNK)
     out = {"P": P, "chunk": CHUNK, "grid": GRID, "inner": INNER,
            "device": jax.devices()[0].platform}
+    n = 2 if SMOKE else 5
+    extra = 1 if SMOKE else 8
     for mode in ("fma", "serial", "blendmix"):
-        run = build(mode)
-        jax.block_until_ready(run(x))     # compile
-        best = float("inf")
-        for _ in range(2 if SMOKE else 5):
-            t0 = time.time()
-            jax.block_until_ready(run(x))
-            best = min(best, time.time() - t0)
-        elems = P * CHUNK * GRID * REPS
-        tops = ops_per_elem(mode) * elems / best / 1e12
-        out[mode] = {"s": round(best, 4),
+        # Difference two rep counts to cancel constant dispatch/readback
+        # overhead (the relay RTT here is ~85 ms — same order as the
+        # kernel itself).
+        run_lo = build(mode, REPS)
+        run_hi = build(mode, REPS + extra)
+        float(np.asarray(run_lo(x)))      # compile
+        float(np.asarray(run_hi(x)))
+        t_lo = timed(run_lo, x, n)
+        t_hi = timed(run_hi, x, n)
+        per_rep = max(t_hi - t_lo, 1e-9) / extra
+        elems = P * CHUNK * GRID
+        tops = ops_per_elem(mode) * elems / per_rep / 1e12
+        out[mode] = {"s_per_rep": round(per_rep, 5),
+                     "t_lo": round(t_lo, 4), "t_hi": round(t_hi, 4),
                      "tera_ops_per_s": round(tops, 3)}
         print(mode, out[mode], flush=True)
     ev = os.path.join(os.path.dirname(__file__), "..", "evidence")

@@ -269,6 +269,54 @@ def canon_forward(params: HumanGS, state: HumanGSState,
     return out
 
 
+def compact_for_inference(
+    params: HumanGS, state: HumanGSState, canon_out: dict,
+    bucket: int | None = None,
+) -> tuple[HumanGS, HumanGSState, dict]:
+    """Serving-time capacity right-sizing (counterpart of
+    scene_gs.compact): gather alive rows of the per-Gaussian arrays —
+    params.xyz, the state masks/stats, and the cached canonical decode —
+    into a pow2 bucket sized to the live population, so the per-frame
+    skinning + render path stops paying the training capacity's row tax.
+    Host-side, outside jit; run canon_forward FIRST, then compact its
+    output (the triplane decode itself is per-row too, so decoding at
+    full capacity once is fine). Network params and per-frame pose
+    tables are untouched."""
+    import numpy as np
+    alive = np.asarray(state.alive)
+    idx = np.flatnonzero(alive)
+    n = max(int(idx.size), 1)
+    cap = int(bucket) if bucket else max(
+        128, 1 << int(np.ceil(np.log2(n))))
+    if cap < n:
+        raise ValueError(f"bucket {cap} < {n} alive gaussians")
+    full = np.zeros(cap, np.int64)
+    full[:idx.size] = idx
+    gather = jnp.asarray(full)
+    new_alive = jnp.asarray(np.arange(cap) < idx.size)
+
+    def rows(x):
+        return jnp.asarray(x)[gather]
+
+    params = params._replace(xyz=rows(params.xyz))
+    state = state._replace(
+        scaling_multiplier=rows(state.scaling_multiplier),
+        alive=new_alive,
+        max_radii2d=rows(state.max_radii2d),
+        xyz_gradient_accum=rows(state.xyz_gradient_accum),
+        denom=rows(state.denom))
+    def canon_field(k, v):
+        if v is None:
+            return None
+        if k == "posedirs":   # (207, 3N) reference layout, not row-major
+            pd = jnp.asarray(v).reshape(207, -1, 3)
+            return pd[:, gather, :].reshape(207, -1)
+        return rows(v)
+
+    canon_out = {k: canon_field(k, v) for k, v in canon_out.items()}
+    return params, state, canon_out
+
+
 def resolve_pose(params: HumanGS, dataset_idx, global_orient=None,
                  body_pose=None, betas=None, transl=None):
     """Use caller-provided SMPL params, else the learned per-frame ones

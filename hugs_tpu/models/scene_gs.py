@@ -130,6 +130,40 @@ def scene_forward(gs: SceneGS, only_rgb: bool = False) -> dict:
     }
 
 
+def compact(gs: SceneGS, bucket: int | None = None) -> SceneGS:
+    """Serving-time capacity right-sizing: gather alive rows into a
+    pow2 bucket sized to the live population.
+
+    Training keeps the full static capacity so densification never
+    recompiles, but inference pays that padding on every frame —
+    projection, LBS and the binning sort all run over capacity rows
+    (e.g. the flagship checkpoint: 42k alive in 262k padded rows, a 6x
+    row tax measured on chip). Host-side, outside jit: call once after
+    loading a checkpoint. Dead tail rows duplicate row 0 with
+    alive=False (projection culls them)."""
+    import numpy as np
+    alive = np.asarray(gs.alive)
+    idx = np.flatnonzero(alive)
+    n = max(int(idx.size), 1)
+    cap = int(bucket) if bucket else max(
+        128, 1 << int(np.ceil(np.log2(n))))
+    if cap < n:
+        raise ValueError(f"bucket {cap} < {n} alive gaussians")
+    full = np.zeros(cap, np.int64)
+    full[:idx.size] = idx
+    gather = jnp.asarray(full)
+    new_alive = jnp.asarray(np.arange(cap) < idx.size)
+
+    def take(name, x):
+        if name == "active_sh_degree":
+            return x
+        if name == "alive":
+            return new_alive
+        return jnp.asarray(x)[gather]
+
+    return SceneGS(**{f: take(f, getattr(gs, f)) for f in gs._fields})
+
+
 def one_up_sh_degree(gs: SceneGS, max_sh_degree: int = 3) -> SceneGS:
     return gs._replace(active_sh_degree=jnp.minimum(
         gs.active_sh_degree + 1, max_sh_degree))

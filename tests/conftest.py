@@ -2,23 +2,20 @@
 
 Tests run on local CPU with 8 virtual devices so sharding tests work
 without TPU hardware (SURVEY.md §4.4). The ambient environment registers
-the 'axon' TPU-tunnel PJRT plugin at interpreter startup (sitecustomize)
-and routes compilation through a remote relay, which makes every jit take
-seconds; the plugin is keyed on PALLAS_AXON_POOL_IPS, so when we detect it
-we re-exec pytest once with that unset and JAX_PLATFORMS=cpu.
+the 'axon' TPU-tunnel PJRT plugin at interpreter startup (sitecustomize,
+keyed on PALLAS_AXON_POOL_IPS) and routes compilation through a remote
+relay (minutes per compile). sitecustomize has already imported jax by
+the time this conftest runs, but the BACKEND only initializes on first
+use, so forcing cpu via jax.config here still works — and unlike the
+previous re-exec approach it doesn't lose pytest's output (pytest's
+fd-level capture has already replaced fd 1 when conftests load, so an
+execve'd pytest writes its whole report into a dead temp file).
+The env mutations below are inherited by subprocesses the tests spawn
+(multihost simulation), keeping children off the relay too.
 """
 import os
-import sys
 
-if (os.environ.get("PALLAS_AXON_POOL_IPS")
-        and os.environ.get("HUGS_TPU_TEST_REEXEC") != "1"):
-    env = dict(os.environ)
-    env["PALLAS_AXON_POOL_IPS"] = ""
-    env["JAX_PLATFORMS"] = "cpu"
-    env["HUGS_TPU_TEST_REEXEC"] = "1"
-    os.execve(sys.executable,
-              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
-
+os.environ["PALLAS_AXON_POOL_IPS"] = ""   # children: no axon plugin
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -27,6 +24,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")  # this process: post-import
 jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache for the CPU test runs: the suite's cost

@@ -64,13 +64,17 @@ def test_trainer_grows_budget_on_overflow(tmp_path):
     cfg.tpu.instance_budget = 0  # auto
     cfg.logdir = ""
     cfg.logdir_ckpt = ""
-    tr = GaussianTrainer(cfg, None, None, None)
-    assert not tr._ibudget_fixed
-    # force an undersized budget; the first step must overflow, grow, and
-    # retry rather than committing a degraded update
-    tr._ibudget = 128
 
     class _Frames:
+        # enough points that 128 instances overflow (the trainer's
+        # datasetless placeholder is deliberately tiny since r4's
+        # evaluate.py fix, so the pcd must come from the dataset)
+        init_pcd = (
+            np.random.RandomState(0).uniform(
+                -3, 3, (256, 3)).astype(np.float32) + [0, 0, 4],
+            np.full((256, 3), 0.5, np.float32))
+        radius = 4.0
+
         def __init__(self, n):
             self.n = n
 
@@ -86,7 +90,11 @@ def test_trainer_grows_budget_on_overflow(tmp_path):
                     "mask": _np.ones((32, 48), _np.float32),
                     "width": 48, "height": 32}
 
-    tr.train_dataset = _Frames(4)
+    tr = GaussianTrainer(cfg, _Frames(4), None, None)
+    assert not tr._ibudget_fixed
+    # force an undersized budget; the first step must overflow, grow, and
+    # retry rather than committing a degraded update
+    tr._ibudget = 128
     log = tr.train()
     assert tr._ibudget >= 1 << 16
     assert np.isfinite([e["loss"] for e in log]).all()

@@ -984,6 +984,25 @@ class GaussianTrainer:
             self.scene = scene
         return True
 
+    def compact_for_eval(self):
+        """Right-size the per-Gaussian arrays to the live population
+        (scene_gs.compact / human_gs.compact_for_inference) for
+        eval/animation: the training capacity keeps padded rows so
+        densification never recompiles, but every eval frame pays them
+        in projection/LBS/binning — measured 2.5x frame time on the
+        flagship checkpoint (evidence/fps_trained_tpu.json). Rebuilds
+        optimizer state at the new shapes, so it is EVAL-ONLY."""
+        if not self.cfg.eval:
+            raise RuntimeError(
+                "compact_for_eval rebuilds optimizer state and must not "
+                "run mid-training (set cfg.eval)")
+        if self.human is not None:
+            params, state, _ = hgs.compact_for_inference(
+                self.human.params, self.human.state, {})
+            self.human = init_human_train_state(params, state)
+        if self.scene is not None:
+            self.scene = init_scene_train_state(sgs.compact(self.scene.gs))
+
 
 def render_poses(trainer: "GaussianTrainer", camera_params: list,
                  smpl_params: dict, bg_color: str = "white"):
@@ -998,11 +1017,15 @@ def render_poses(trainer: "GaussianTrainer", camera_params: list,
     bg = jnp.ones(3) if bg_color == "white" else jnp.zeros(3)
     canon = hgs.canon_forward(trainer.human.params, trainer.human.state,
                               trainer.human_cfg)
+    # pure-inference loop: right-size the per-Gaussian rows locally
+    # (does not touch the trainer's states; identical renders)
+    h_params, h_state, canon = hgs.compact_for_inference(
+        trainer.human.params, trainer.human.state, canon)
     imgs = []
     for idx, cp in enumerate(camera_params):
         data = dict(smpl_params, **cp)
         h_out = hgs.human_forward(
-            trainer.human.params, trainer.human.state, trainer.fixed,
+            h_params, h_state, trainer.fixed,
             trainer.human_cfg, canon_out=canon, compute_gt_lbs=False,
             global_orient=jnp.asarray(data["global_orient"]).reshape(3),
             body_pose=jnp.asarray(data["body_pose"]).reshape(-1)[:69],

@@ -40,6 +40,9 @@ def main():
     if not trainer.load_latest_ckpt():
         print("no checkpoint found", file=sys.stderr)
         return 1
+    # serving-time capacity right-sizing: identical outputs (tests/
+    # test_compact.py), ~2.5x faster frames on trained checkpoints
+    trainer.compact_for_eval()
     metrics = trainer.validate()
     with open(os.path.join(args.output_dir, "results_eval.json"), "w") as f:
         json.dump(metrics, f, indent=2)

@@ -106,6 +106,42 @@ def test_human_compact_forward_identical():
     np.testing.assert_allclose(img_small, img_full, atol=1e-5)
 
 
+def test_render_poses_compaction_invisible():
+    """render_poses compacts internally (trainer.py); its output must
+    match the full-capacity render_frame for the same pose/camera."""
+    from hugs_tpu.cfg import default_config
+    from hugs_tpu.train.trainer import GaussianTrainer, render_poses
+
+    cfg = default_config()
+    cfg.mode = "human"
+    cfg.human.triplane_res = 16
+    cfg.human.n_subdivision = 0
+    cfg.human.run_init = False
+    cfg.tpu.human_capacity = 512
+    cfg.tpu.smpl_vpb = 8
+    cfg.tpu.tile_cap = 256
+    cfg.tpu.instance_budget = 8192
+    cfg.logdir = ""
+    cfg.logdir_ckpt = ""
+    tr = GaussianTrainer(cfg, None, None, None)
+
+    cam = _camera()
+    pose = np.zeros(69, np.float32)
+    pose[3] = 0.4
+    smpl_params = {"global_orient": np.zeros(3, np.float32),
+                   "body_pose": pose,
+                   "betas": np.zeros(10, np.float32),
+                   "transl": np.zeros(3, np.float32),
+                   "smpl_scale": np.float32(1.0)}
+    imgs = render_poses(tr, [{"camera": cam, "width": W, "height": H}],
+                        smpl_params, bg_color="black")
+    assert len(imgs) == 1
+    full = tr.render_frame(
+        {"camera": cam, "width": W, "height": H, **smpl_params},
+        render_mode="human", bg=jnp.zeros(3))["render"]
+    np.testing.assert_allclose(imgs[0], np.asarray(full), atol=1e-5)
+
+
 def test_human_scene_compact_joint_render():
     smpl = synthetic_smpl(verts_per_bone=4)
     template = subdivide_smpl_model(smpl, smoothing=True, n_iter=1)

@@ -120,6 +120,14 @@ def init_human_pergs(
     return params, fixed
 
 
+def compact_for_inference(params: HumanPerGS,
+                          bucket: int | None = None) -> HumanPerGS:
+    """Serving-time capacity right-sizing (see scene_gs.compact): the
+    per-Gaussian block IS a SceneGS, and human_pergs_forward derives
+    everything row-wise from it, so compacting it compacts the model."""
+    return params._replace(gs=sgs.compact(params.gs, bucket))
+
+
 def human_pergs_forward(
     params: HumanPerGS,
     fixed: HumanGSFixed,

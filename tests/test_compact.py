@@ -142,6 +142,34 @@ def test_render_poses_compaction_invisible():
     np.testing.assert_allclose(imgs[0], np.asarray(full), atol=1e-5)
 
 
+def test_pergs_compact_render_identical():
+    from hugs_tpu.models.smpl import synthetic_smpl as _smpl
+    from hugs_tpu.models import human_gs_pergs as pgs
+
+    smpl = _smpl(verts_per_bone=12)
+    params, fixed = pgs.init_human_pergs(smpl, smpl, jnp.zeros(10),
+                                         n_frames=1, capacity=1024)
+    # punch holes in the alive mask
+    alive = np.asarray(params.gs.alive).copy()
+    kill = np.random.RandomState(3).choice(
+        np.flatnonzero(alive), size=30, replace=False)
+    alive[kill] = False
+    params = params._replace(gs=params.gs._replace(alive=jnp.asarray(alive)))
+
+    def img_of(p):
+        out = pgs.human_pergs_forward(p, fixed,
+                                      smpl_scale=jnp.float32(1.0))
+        return render(out["xyz"], out["scales"], out["rotq"],
+                      out["opacity"], out["shs"], _camera(), W, H,
+                      alive=out["alive"], tile_cap=256,
+                      instance_budget=8192)["render"]
+
+    full = img_of(params)
+    small = pgs.compact_for_inference(params)
+    assert small.gs.capacity < params.gs.capacity
+    np.testing.assert_allclose(img_of(small), full, atol=1e-6)
+
+
 def test_human_scene_compact_joint_render():
     smpl = synthetic_smpl(verts_per_bone=4)
     template = subdivide_smpl_model(smpl, smoothing=True, n_iter=1)

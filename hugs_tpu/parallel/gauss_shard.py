@@ -102,7 +102,11 @@ def render_gauss_sharded(
         d = jax.lax.axis_index(axis)
         pg = project_gaussians(m, s, q, o, c, camera, width, height, deg,
                                scaling_modifier, alive=alive)
-        bins = bin_gaussians(pg, width, h_pad, budget, tile)
+        # align=1: the fragment exchange consumes the dense sorted
+        # layout (and re-aligns merged fragments itself for the Pallas
+        # backend below), so per-shard budgets carry no padding waste
+        # and the all-to-all packets stay tight.
+        bins = bin_gaussians(pg, width, h_pad, budget, tile, align=1)
         i_align = bins.gauss_id.shape[0]
 
         # ---- per-aligned-slot fragment features (one column gather) ----

@@ -89,7 +89,7 @@ def render_tile_sharded(
                                width, height, active_sh_degree,
                                scaling_modifier, alive=alive)
         pg = update_mean2d(pg, hook - jnp.stack([jnp.zeros_like(y0), y0]))
-        bins = bin_gaussians(pg, width, band_h, budget, tile)
+        bins = bin_gaussians(pg, width, band_h, budget, tile, align=1)
         img = blend_tiles(pg, bins, width, band_h, bg, tile_cap, tile)
         return img  # (3, band_h, W)
 

@@ -35,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from hugs_tpu.models import human_gs as hgs
 from hugs_tpu.models import scene_gs as sgs
 from hugs_tpu.render.project import project_gaussians, update_mean2d
-from hugs_tpu.render.tiles import bin_gaussians, TILE
+from hugs_tpu.render.tiles import ALIGN, bin_gaussians, TILE
 from hugs_tpu.render.blend import blend_tiles
 from hugs_tpu.losses.loss import HumanSceneLoss
 from hugs_tpu.train.optim import group_adam_update
@@ -87,14 +87,15 @@ def make_dp_tile_train_step(
         and gather the full frame (band coords: shift mean2d)."""
         y0 = (t * band_h).astype(jnp.float32)
         pg = update_mean2d(pg, -jnp.stack([jnp.zeros_like(y0), y0]))
-        bins = bin_gaussians(pg, width, band_h, instance_budget, tile)
+        bins = bin_gaussians(pg, width, band_h, instance_budget, tile,
+                             align=1 if backend != "pallas" else ALIGN)
         if backend == "pallas":
             from hugs_tpu.render.pallas_blend import blend_tiles_pallas
             img = blend_tiles_pallas(pg, bins, width, band_h, bg, tile)
         else:
             img = blend_tiles(pg, bins, width, band_h, bg, tile_cap, tile)
         full = jax.lax.all_gather(img, "tile", axis=1, tiled=True)
-        return full[:, :height, :], bins.overflowed, bins.n_instances
+        return full[:, :height, :], bins.overflowed, bins.n_slots
 
     def worker(h_params, h_state, s_gs, camera, gt, mask, bg, hbg,
                smpl_scale, dataset_idx, key):
@@ -129,7 +130,7 @@ def make_dp_tile_train_step(
                                    width, height,
                                    h_out["active_sh_degree"], alive=alive)
             pg = update_mean2d(pg, hook)
-            img, overflowed, n_inst = band_render(pg, bg, t)
+            img, overflowed, n_slots = band_render(pg, bg, t)
             pkg = {"render": img,
                    "radii": pg.radius,
                    "visibility_filter": pg.mask & (pg.radius > 0)}
@@ -172,7 +173,7 @@ def make_dp_tile_train_step(
                             pkg["visibility_filter"][:h_cap])
             radii = jnp.concatenate([h_radii, pkg["radii"][h_cap:]])
             vis = jnp.concatenate([h_vis, pkg["visibility_filter"][h_cap:]])
-            aux = (total, loss_dict, overflowed, n_inst, radii, vis,
+            aux = (total, loss_dict, overflowed, n_slots, radii, vis,
                    h_out["opacity"], h_out["scales_canon"],
                    h_out["rotmat_canon"])
             return objective / (n_data * local_b), aux
@@ -188,7 +189,7 @@ def make_dp_tile_train_step(
                                has_aux=True)(
                 h_params, sgs.params_of(s_gs), hook)
         h_grads, s_grads, hook_grad = grads
-        (total, loss_dict, overflowed, n_inst, radii, vis,
+        (total, loss_dict, overflowed, n_slots, radii, vis,
          h_opac, h_scales_c, h_rotmat_c) = auxs
         # reduce the local batch: mean losses, any-overflow, max instance
         # count, any-frame visibility; canonical quantities (opacity,
@@ -196,7 +197,7 @@ def make_dp_tile_train_step(
         total = jnp.mean(total)
         loss_dict = jax.tree.map(lambda x: jnp.mean(x, axis=0), loss_dict)
         overflowed = jnp.any(overflowed)
-        n_inst = jnp.max(n_inst)
+        n_slots = jnp.max(n_slots)
         radii = jnp.max(radii, axis=0)
         vis = jnp.any(vis, axis=0)
         h_opac, h_scales_c, h_rotmat_c = (
@@ -209,14 +210,14 @@ def make_dp_tile_train_step(
         loss_dict = jax.lax.pmean(loss_dict, axis_name=("data", "tile"))
         overflowed = jax.lax.psum(
             overflowed.astype(jnp.int32), ("data", "tile")) > 0
-        n_inst = jax.lax.pmax(n_inst, ("data", "tile"))
+        n_slots = jax.lax.pmax(n_slots, ("data", "tile"))
         # radii/visibility are replicated within a data row; max/or over
         # 'data' matches the densify semantics "visible in any trained
         # frame".
         radii = jax.lax.pmax(radii, "data")
         vis = jax.lax.pmax(vis.astype(jnp.int32), "data") > 0
         return (h_grads, s_grads, hook_grad, loss, loss_dict, overflowed,
-                n_inst, radii, vis, h_opac, h_scales_c, h_rotmat_c)
+                n_slots, radii, vis, h_opac, h_scales_c, h_rotmat_c)
 
     rep = P()
     dshard = P("data")
@@ -234,7 +235,7 @@ def make_dp_tile_train_step(
              human_bgs, smpl_scales, dataset_idxs, keys,
              h_xyz_lr, h_static_lrs, s_xyz_lr, s_static_lrs):
         hstate, sstate = jstate.human, jstate.scene
-        (h_grads, s_grads, hook_grad, loss, loss_dict, overflowed, n_inst,
+        (h_grads, s_grads, hook_grad, loss, loss_dict, overflowed, n_slots,
          radii, vis, h_opac, h_scales_c, h_rotmat_c) = sharded(
             hstate.params, hstate.state, sstate.gs,
             cameras, targets, masks, bgs, human_bgs, smpl_scales,
@@ -261,7 +262,7 @@ def make_dp_tile_train_step(
             new_s_gs, vs_grad[h_cap:], radii[h_cap:], vis[h_cap:])
 
         aux = {"loss": loss, "loss_dict": loss_dict,
-               "overflowed": overflowed, "n_instances": n_inst,
+               "overflowed": overflowed, "n_slots": n_slots,
                "opacity": h_opac, "scales_canon": h_scales_c,
                "rotmat_canon": h_rotmat_c}
         return JointTrainState(

@@ -34,11 +34,19 @@ def blend_tiles(pg: ProjectedGaussians, bins: TileBins, width: int,
 
     opac = jnp.where(pg.mask, pg.opacity, 0.0)
 
+    # Pad the instance list by tile_cap so the fixed-size dynamic slices
+    # below never hit the clamp-shift hazard: XLA clamps an
+    # out-of-bounds dynamic_slice START downward, which would silently
+    # offset a near-the-end tile's rows against its `live` mask. With
+    # alignment waste inside the budget (tiles.bin_gaussians), a full
+    # layout legitimately ends flush with the array.
+    gauss_id = jnp.pad(bins.gauss_id, (0, tile_cap))
+
     def one_tile(t):
         start = bins.starts[t]
         count = bins.ends[t] - start
         k = jnp.arange(tile_cap, dtype=jnp.int32)
-        inst = jax.lax.dynamic_slice_in_dim(bins.gauss_id, start, tile_cap)
+        inst = jax.lax.dynamic_slice_in_dim(gauss_id, start, tile_cap)
         live = k < count
         gi = jnp.where(live, inst, 0)
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from hugs_tpu.render.camera import Camera
 from hugs_tpu.render.project import project_gaussians, update_mean2d
-from hugs_tpu.render.tiles import bin_gaussians, TILE
+from hugs_tpu.render.tiles import ALIGN, bin_gaussians, TILE
 from hugs_tpu.render.blend import blend_tiles
 from hugs_tpu.render.oracle import render_oracle
 
@@ -62,6 +62,7 @@ def render(
         pg = update_mean2d(pg, mean2d_grad_hook)  # keeps pg.feat in sync
 
     n_instances = jnp.int32(0)
+    n_slots = jnp.int32(0)
     if backend == "oracle":
         img = render_oracle(pg, width, height, bg).transpose(2, 0, 1)
         overflowed = jnp.bool_(False)
@@ -73,8 +74,12 @@ def render(
             tile = 32 if backend == "pallas" else TILE
         n = means3d.shape[0]
         budget = instance_budget or max(4 * n, 1 << 16)
-        bins = bin_gaussians(pg, width, height, budget, tile)
+        # only the Pallas DMA needs 128-aligned segments; the XLA path
+        # blends the dense layout, so its budget carries no padding waste
+        bins = bin_gaussians(pg, width, height, budget, tile,
+                             align=1 if backend == "tiled" else ALIGN)
         n_instances = bins.n_instances  # true count, even past the budget
+        n_slots = bins.n_slots          # slot demand incl. alignment pad
         if backend == "pallas":
             from hugs_tpu.render.pallas_blend import blend_tiles_pallas
             img = blend_tiles_pallas(pg, bins, width, height, bg, tile,
@@ -95,6 +100,7 @@ def render(
         "visibility_filter": pg.mask & (pg.radius > 0),
         "overflowed": overflowed,
         "n_instances": n_instances,
+        "n_slots": n_slots,
     }
 
 
@@ -180,6 +186,7 @@ def render_human_scene(
         pkg["overflowed"] = pkg["overflowed"] | hpkg["overflowed"]
         pkg["n_instances"] = jnp.maximum(pkg["n_instances"],
                                          2 * hpkg["n_instances"])
+        pkg["n_slots"] = jnp.maximum(pkg["n_slots"], 2 * hpkg["n_slots"])
 
     if render_mode == "human":
         pkg["human_visibility_filter"] = pkg["visibility_filter"]

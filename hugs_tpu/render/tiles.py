@@ -57,6 +57,9 @@ class TileBins(NamedTuple):
     #                            the budget if overflowed)
     aligned_total: jnp.ndarray  # () int32 end of the last written segment
     overflowed: jnp.ndarray   # () bool: instance budget exceeded
+    n_slots: jnp.ndarray | None = None  # () int32 SLOT demand: instances
+    #   + per-tile alignment padding. This (not n_instances) is what a
+    #   budget must cover; the trainer's auto-grow sizes from it.
 
 
 def tile_wh(tile) -> tuple[int, int]:
@@ -221,16 +224,22 @@ def _tight_cull_keep(cols, tx, ty, tile):
 
 def bin_gaussians(pg: ProjectedGaussians, width: int, height: int,
                   budget: int, tile: int = TILE,
-                  tight_cull: bool = True) -> TileBins:
+                  tight_cull: bool = True, align: int = ALIGN) -> TileBins:
     """Build the depth-sorted per-tile instance lists.
 
-    budget: STATIC total instance capacity I. If the true instance count
-    exceeds it, later instances (by Gaussian index) are dropped and
-    `overflowed` is set — callers size the budget so this never happens in
-    steady state (it is checkable cheaply on-host).
+    budget: STATIC total slot capacity I (instances + per-tile alignment
+    padding). If the demand exceeds it, later instances (by Gaussian
+    index) are dropped and `overflowed` is set — callers size the budget
+    so this never happens in steady state (n_slots reports the demand;
+    the trainer auto-grows from it).
     tight_cull: tight per-axis ellipse spans (tile_spans tight=True)
     plus per-instance tile-rect culling (_tight_cull_keep); False keeps
     the raw bounding-square expansion (A/B hook for tests/benchmarks).
+    align: per-tile segment alignment. The Pallas blend needs ALIGN(=128)
+    segments (provably lane-aligned DMA offsets + overlap-free backward
+    writes); the XLA tiled backend and the Gaussian-shard fragment
+    exchange work on the dense layout — pass align=1 there and the
+    budget carries zero padding waste.
     """
     n = pg.mean2d.shape[0]
     tx0, ty0, w, h, nx, ny = tile_spans(pg, width, height, tile,
@@ -315,9 +324,19 @@ def bin_gaussians(pg: ProjectedGaussians, width: int, height: int,
     # so it flood-fills over the instance axis with scatter+cummax
     # instead of a per-instance table gather.
     counts = raw_ends - raw_starts
-    seg = ((counts + ALIGN - 1) // ALIGN) * ALIGN
+    seg = ((counts + align - 1) // align) * align
     astarts = (jnp.cumsum(seg) - seg).astype(jnp.int32)
-    i_align = budget + ALIGN * num_tiles        # static worst case
+    # Alignment waste lives INSIDE the budget: i_align is the budget
+    # rounded up to ALIGN, NOT budget + ALIGN*T worst-case slack. TPU
+    # gathers/scatters are INDEX-bound (~7ns/slot regardless of bytes),
+    # so the old static slack cost ~0.9 ms/step of pure padding tax in
+    # the downstream instance pack at bench scale (64k phantom slots
+    # through one gather fwd + one scatter-add bwd). A scene whose
+    # aligned layout exceeds the budget sets `overflowed` exactly like
+    # an instance-count overflow, and callers grow-and-retry; `n_slots`
+    # reports the demand so the growth lands right the first time.
+    i_align = -(-budget // align) * align
+    aligned_need = astarts[-1] + seg[-1]        # sum of per-tile segments
     delta = astarts - raw_starts                # (T,) >= 0, non-decreasing
     mark_pos = jnp.where(counts > 0, raw_starts, budget)
     dmarks = jnp.zeros(budget, jnp.int32).at[mark_pos].max(
@@ -327,7 +346,19 @@ def bin_gaussians(pg: ProjectedGaussians, width: int, height: int,
     gauss_al = jnp.zeros(i_align, jnp.int32).at[newpos].set(
         gid_sorted, mode="drop")
 
-    return TileBins(gauss_id=gauss_al, starts=astarts,
-                    ends=astarts + counts, n_instances=total,
-                    aligned_total=astarts[-1] + seg[-1],
-                    overflowed=total > budget)
+    # n_slots: true instance count plus alignment waste measured on the
+    # KEPT part (instances dropped by an instance-count overflow carry
+    # unknown extra waste — lower bound; the grow-and-retry loop's 1.5x
+    # headroom absorbs it).
+    n_slots = total + (aligned_need - jnp.sum(counts))
+    # Clamp the per-tile tables so downstream kernels stay in-bounds even
+    # on an overflowed (to-be-retried) frame: starts/ends within
+    # [0, i_align], and roundup(ends-starts, ALIGN) never crosses the
+    # array end (all quantities are ALIGN-multiples or clamped to one).
+    starts_c = jnp.minimum(astarts, i_align)
+    ends_c = jnp.minimum(astarts + counts, i_align)
+    return TileBins(gauss_id=gauss_al, starts=starts_c,
+                    ends=ends_c, n_instances=total,
+                    aligned_total=jnp.minimum(aligned_need, i_align),
+                    overflowed=(total > budget) | (aligned_need > i_align),
+                    n_slots=n_slots)

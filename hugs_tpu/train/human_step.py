@@ -202,6 +202,7 @@ def human_train_step(
     aux = {"loss": loss, "loss_dict": loss_dict,
            "overflowed": pkg["overflowed"],
            "n_instances": pkg["n_instances"],
+           "n_slots": pkg["n_slots"],
            "n_visible": jnp.sum(pkg["visibility_filter"]),
            "opacity": out["opacity"], "scales_canon": out["scales_canon"],
            "rotmat_canon": out["rotmat_canon"]}

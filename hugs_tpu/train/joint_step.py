@@ -118,6 +118,7 @@ def joint_train_step(
     aux = {"loss": loss, "loss_dict": loss_dict,
            "overflowed": pkg["overflowed"],
            "n_instances": pkg["n_instances"],
+           "n_slots": pkg["n_slots"],
            "render": pkg["render"],
            "opacity": h_out["opacity"],
            "scales_canon": h_out["scales_canon"],

@@ -111,6 +111,7 @@ def scene_train_step(
     aux = {"loss": loss, "psnr_mse": jnp.mean((pkg["render"] - gt_image) ** 2),
            "overflowed": pkg["overflowed"],
            "n_instances": pkg["n_instances"],
+           "n_slots": pkg["n_slots"],
            "n_visible": jnp.sum(pkg["visibility_filter"])}
     return SceneTrainState(gs=new_gs, opt=new_opt), aux
 

@@ -191,7 +191,10 @@ class GaussianTrainer:
                     tile_cap=int(t.tile_cap))
 
     def _check_budget(self, aux, ni=None, overflowed=None) -> bool:
-        """Grow the instance budget from the measured instance count.
+        """Grow the instance budget from the measured SLOT demand
+        (instances + tile-alignment padding, bins.n_slots — alignment
+        waste counts against the budget since tiles.bin_gaussians sized
+        its array to the budget itself).
 
         Returns True when the step OVERFLOWED the budget (instances were
         dropped) — the caller re-runs the step at the grown budget instead
@@ -206,17 +209,18 @@ class GaussianTrainer:
         step), so the train loop batches them into one device_get and
         only on SYNC steps (every 10th + around densification
         boundaries, the only places the count jumps >25% at once)."""
-        if self._ibudget_fixed or "n_instances" not in aux:
+        if self._ibudget_fixed or not (
+                "n_slots" in aux or "n_instances" in aux):
             return False
         if ni is None:
-            ni = int(aux["n_instances"])
+            ni = int(aux.get("n_slots", aux.get("n_instances", 0)))
         if overflowed is None:
             overflowed = bool(aux.get("overflowed", False))
         if overflowed or ni * 4 >= self._ibudget * 3:
             new = _budget_bucket(max(ni * 3 // 2, self._ibudget))
             if new > self._ibudget:
                 print(f"instance budget: {self._ibudget} -> {new} "
-                      f"(n_instances={ni}"
+                      f"(n_slots={ni}"
                       f"{', overflowed — retrying step' if overflowed else ''})")
                 self._ibudget = new
         return overflowed
@@ -281,7 +285,8 @@ class GaussianTrainer:
                 if not sync:
                     break
                 vals = jax.device_get((aux["loss"],
-                                       aux.get("n_instances", 0),
+                                       aux.get("n_slots",
+                                               aux.get("n_instances", 0)),
                                        aux.get("overflowed", False)))
                 if not self._check_budget(aux, ni=int(vals[1]),
                                           overflowed=bool(vals[2])):
@@ -438,7 +443,8 @@ class GaussianTrainer:
                 if not sync:
                     break
                 vals = jax.device_get((aux["loss"],
-                                       aux.get("n_instances", 0),
+                                       aux.get("n_slots",
+                                               aux.get("n_instances", 0)),
                                        aux.get("overflowed", False)))
                 if not self._check_budget(aux, ni=int(vals[1]),
                                           overflowed=bool(vals[2])):

@@ -159,10 +159,13 @@ def main():
     # serving deployment sizes the bucket to the live instance count
     # (x1.3 margin, pow2 bucket) exactly like the trainer's auto-sizing
     n_inst = int(jax.jit(
-        lambda p: frame_full(p, IBUDGET)["n_instances"])(base_pose))
-    budget = 1 << max(14, int(np.ceil(np.log2(1.3 * max(n_inst, 1)))))
+        lambda p: frame_full(p, IBUDGET)["n_slots"])(base_pose))
+    # 32768-multiple buckets (trainer _budget_bucket granularity): the
+    # sort and instance pack pay ~7ns per STATIC slot, so pow2 sizing
+    # wasted up to 2x; 1.3x margin over the probe's slot demand
+    budget = max(1 << 14, -(-(n_inst * 13 // 10) // 32768) * 32768)
     budget = min(budget, IBUDGET)
-    print(f"probe: {n_inst} instances -> budget {budget} "
+    print(f"probe: {n_inst} slots -> budget {budget} "
           f"(static cap {IBUDGET})", flush=True)
 
     def frame(pose):
@@ -225,7 +228,7 @@ def main():
         "reference_headline": "paper claims 60 FPS rendering "
                               "(arXiv:2311.17910)",
         "vs_60fps": round(fps / 60.0, 2),
-        "n_instances": n_inst,
+        "n_slots": n_inst,
         "instance_budget": budget,
         "compile_s": round(compile_s, 1),
         "device": jax.devices()[0].platform,

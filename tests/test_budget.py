@@ -25,7 +25,7 @@ def test_budget_bucket_math():
         prev = b
 
 
-def _tiny_render(budget):
+def _tiny_render(budget, backend="tiled"):
     from hugs_tpu.render import render, make_camera
     cam = make_camera(jnp.eye(3), jnp.zeros(3), 0.9, 0.7)
     ks = jax.random.split(jax.random.PRNGKey(0), 5)
@@ -38,7 +38,7 @@ def _tiny_render(budget):
         jax.nn.sigmoid(jax.random.normal(ks[3], (n,))),
         jax.random.normal(ks[4], (n, 16, 3)) * 0.25,
         camera=cam, width=64, height=48, active_sh_degree=3,
-        tile_cap=128, instance_budget=budget)
+        tile_cap=128, instance_budget=budget, backend=backend)
 
 
 def test_render_reports_n_instances():
@@ -49,6 +49,56 @@ def test_render_reports_n_instances():
     small = _tiny_render(128)
     assert int(small["n_instances"]) == int(big["n_instances"])
     assert bool(small["overflowed"])
+
+
+def test_slot_demand_and_alignment_overflow():
+    """Alignment waste counts against the budget (tiles.bin_gaussians
+    sizes its array to the budget itself — the old budget + ALIGN*T
+    slack cost ~0.9 ms/step of index-bound padding tax): a pallas-layout
+    budget that covers the instances but not the 128-aligned segments
+    must flag overflow, and n_slots must report the true demand."""
+    big = _tiny_render(4096, backend="pallas")
+    n_inst = int(big["n_instances"])
+    n_slots = int(big["n_slots"])
+    assert not bool(big["overflowed"])
+    # 64x48 at tile=32 is a 2x2 tile grid: multiple non-empty 128-aligned
+    # segments make the slot demand strictly exceed the instance count
+    assert n_slots > n_inst
+    # a budget covering the instances but not the aligned layout: flagged
+    tight_budget = -(-n_inst // 128) * 128
+    assert tight_budget < n_slots
+    tight = _tiny_render(tight_budget, backend="pallas")
+    assert bool(tight["overflowed"])
+    # at the reported slot demand nothing overflows and the image matches
+    ok = _tiny_render(-(-n_slots // 128) * 128, backend="pallas")
+    assert not bool(ok["overflowed"])
+    assert int(ok["n_instances"]) == n_inst
+    np.testing.assert_allclose(np.asarray(ok["render"]),
+                               np.asarray(big["render"]), atol=1e-6)
+
+
+def test_tiled_backend_dense_layout_no_alignment_waste():
+    """The XLA tiled backend bins with align=1: slot demand == instance
+    count, and a budget of exactly n_instances suffices."""
+    from hugs_tpu.render import render, make_camera
+    cam = make_camera(jnp.eye(3), jnp.zeros(3), 0.9, 0.7)
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    n = 64
+    means = jax.random.uniform(ks[0], (n, 3), minval=-1,
+                               maxval=1).at[:, 2].add(4.0)
+    args = (means,
+            jnp.exp(jax.random.normal(ks[1], (n, 3)) * 0.2 - 2.2),
+            jax.random.normal(ks[2], (n, 4)),
+            jax.nn.sigmoid(jax.random.normal(ks[3], (n,))),
+            jax.random.normal(ks[4], (n, 16, 3)) * 0.25)
+    kw = dict(camera=cam, width=64, height=48, active_sh_degree=3,
+              tile_cap=128, backend="tiled")
+    big = render(*args, instance_budget=4096, **kw)
+    assert int(big["n_slots"]) == int(big["n_instances"])
+    exact = render(*args, instance_budget=int(big["n_instances"]), **kw)
+    assert not bool(exact["overflowed"])
+    np.testing.assert_allclose(np.asarray(exact["render"]),
+                               np.asarray(big["render"]), atol=1e-6)
 
 
 def test_trainer_grows_budget_on_overflow(tmp_path):

@@ -43,7 +43,7 @@ def make_scene(n, seed, spread=1.0, z_span=2.0, op_hi=False):
 
 
 def run_case(name, n, seed, W, H, tile, budget, op_hi=False, spread=0.35,
-             power_mxu=False):
+             power_mxu=False, tight=False):
     from hugs_tpu.render import render, make_camera
     from hugs_tpu.render.project import project_gaussians
     from hugs_tpu.render.tiles import bin_gaussians
@@ -52,13 +52,21 @@ def run_case(name, n, seed, W, H, tile, budget, op_hi=False, spread=0.35,
         n, seed, spread=spread, op_hi=op_hi)
     cam = make_camera(jnp.eye(3), jnp.zeros(3), 0.9, 0.7)
     bg = jnp.array([0.2, 0.3, 0.4])
-    kw = dict(camera=cam, width=W, height=H, bg=bg, active_sh_degree=3,
-              instance_budget=budget, tile=tile)
 
-    # chunk-structure stats for the record
+    # chunk-structure stats for the record; tight=True re-sizes the
+    # budget to the EXACT pallas slot demand (the aligned layout ends
+    # flush with the array — the budget-boundary case; alignment waste
+    # counts against the budget, so "barely fits" is n_slots, not
+    # n_instances)
     pg = project_gaussians(means, scales, rotq, opacity, shs, cam, W, H,
                            active_sh_degree=3)
     bins = bin_gaussians(pg, W, H, budget, tile)
+    if tight:
+        budget = -(-int(bins.n_slots) // 128) * 128
+        bins = bin_gaussians(pg, W, H, budget, tile)
+        assert not bool(bins.overflowed)
+    kw = dict(camera=cam, width=W, height=H, bg=bg, active_sh_degree=3,
+              instance_budget=budget, tile=tile)
     counts = np.asarray(bins.ends) - np.asarray(bins.starts)
     chunks = -(-counts // 128)
     stats = {"max_chunks_per_tile": int(chunks.max()),
@@ -115,9 +123,11 @@ def main():
             # tile=16 path (P=256; MXU mode: padded K=24->32 basis)
             run_case("tile16", n=1500, seed=2, W=96, H=64,
                      tile=16, budget=65536, spread=0.4, power_mxu=pmx),
-            # budget-boundary: budget barely fits the expansion
+            # budget-boundary: budget == exact slot demand (layout
+            # ends flush with the instance array)
             run_case("tight_budget", n=800, seed=3, W=96, H=64,
-                     tile=32, budget=4096, spread=0.6, power_mxu=pmx),
+                     tile=32, budget=65536, spread=0.6, power_mxu=pmx,
+                     tight=True),
         ]
     ok = all(c["max_abs_dimg"] < 5e-5 and
              max(c["rel_dgrad"].values()) < 5e-4 for c in cases)

@@ -77,6 +77,19 @@ def test_slot_demand_and_alignment_overflow():
                                np.asarray(big["render"]), atol=1e-6)
 
 
+def test_pallas_overflow_tables_stay_in_bounds():
+    """An overflowed pallas frame is garbage-but-safe: the clamped
+    per-tile tables keep every kernel DMA inside the budget-sized
+    instance array (the frame is discarded and retried by the trainer,
+    but the kernel must not read out of bounds getting there)."""
+    small = _tiny_render(128, backend="pallas")
+    assert bool(small["overflowed"])
+    img = np.asarray(small["render"])
+    assert np.isfinite(img).all()
+    big = _tiny_render(4096, backend="pallas")
+    assert int(small["n_instances"]) == int(big["n_instances"])
+
+
 def test_tiled_backend_dense_layout_no_alignment_waste():
     """The XLA tiled backend bins with align=1: slot demand == instance
     count, and a budget of exactly n_instances suffices."""

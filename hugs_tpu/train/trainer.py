@@ -190,7 +190,8 @@ class GaussianTrainer:
                     instance_budget=self._ibudget,
                     tile_cap=int(t.tile_cap))
 
-    def _check_budget(self, aux, ni=None, overflowed=None) -> bool:
+    def _check_budget(self, aux, ni=None, overflowed=None,
+                      ninst=None) -> bool:
         """Grow the instance budget from the measured SLOT demand
         (instances + tile-alignment padding, bins.n_slots — alignment
         waste counts against the budget since tiles.bin_gaussians sized
@@ -217,7 +218,18 @@ class GaussianTrainer:
         if overflowed is None:
             overflowed = bool(aux.get("overflowed", False))
         if overflowed or ni * 4 >= self._ibudget * 3:
-            new = _budget_bucket(max(ni * 3 // 2, self._ibudget))
+            # Headroom scales the INSTANCE part only: alignment waste is
+            # ~ALIGN/2 per non-empty tile — a function of the (fixed)
+            # tile grid, not of densification growth — so multiplying it
+            # by the 1.5x/1.25x margins would permanently oversize the
+            # buckets (every slot costs ~7ns/step in the pack). ninst
+            # arrives pre-fetched with ni (one batched device_get).
+            if ninst is None:
+                ninst = int(aux.get("n_instances", ni)) \
+                    if "n_instances" in aux else ni
+            waste = max(ni - ninst, 0)
+            new = _budget_bucket(
+                max(ninst * 3 // 2 + waste, self._ibudget))
             if new > self._ibudget:
                 print(f"instance budget: {self._ibudget} -> {new} "
                       f"(n_slots={ni}"
@@ -287,9 +299,13 @@ class GaussianTrainer:
                 vals = jax.device_get((aux["loss"],
                                        aux.get("n_slots",
                                                aux.get("n_instances", 0)),
-                                       aux.get("overflowed", False)))
+                                       aux.get("overflowed", False),
+                                       aux.get("n_instances", 0)))
                 if not self._check_budget(aux, ni=int(vals[1]),
-                                          overflowed=bool(vals[2])):
+                                          overflowed=bool(vals[2]),
+                                          ninst=(int(vals[3])
+                                                 if "n_instances" in aux
+                                                 else None)):
                     break
                 # budget overflow: discard the degraded update and re-run
                 # the step at the grown budget (re-jit, one-off cost)
@@ -445,9 +461,13 @@ class GaussianTrainer:
                 vals = jax.device_get((aux["loss"],
                                        aux.get("n_slots",
                                                aux.get("n_instances", 0)),
-                                       aux.get("overflowed", False)))
+                                       aux.get("overflowed", False),
+                                       aux.get("n_instances", 0)))
                 if not self._check_budget(aux, ni=int(vals[1]),
-                                          overflowed=bool(vals[2])):
+                                          overflowed=bool(vals[2]),
+                                          ninst=(int(vals[3])
+                                                 if "n_instances" in aux
+                                                 else None)):
                     break
                 self.human, self.scene, self.key = snap
             else:

@@ -38,7 +38,11 @@ W, H = 960, 540
 N_GAUSS = 50_000
 BASELINE_PX_S = 5.2e7
 ITERS = 10   # chained steps per jitted block
-BLOCKS = 5   # timed blocks; report the best
+BLOCKS = 12  # timed blocks; report the best. The shared chip's clock
+#              swings ~1.5x run-to-run on a timescale of seconds, so
+#              sampling more ~0.2 s blocks (total cost ~2.5 s) makes the
+#              best-of estimate far more likely to catch a full-clock
+#              window; 5 blocks measurably under-reported on slow runs.
 
 
 def build_scene(n, seed=0):

@@ -154,18 +154,28 @@ def main():
             bg_color=bg, render_mode="human_scene", backend="pallas",
             instance_budget=budget)
 
-    # right-size the instance budget from a probe frame: the sort and
-    # the instance pack pay the STATIC budget (index-bound), so a
-    # serving deployment sizes the bucket to the live instance count
-    # (x1.3 margin, pow2 bucket) exactly like the trainer's auto-sizing
-    n_inst = int(jax.jit(
-        lambda p: frame_full(p, IBUDGET)["n_slots"])(base_pose))
-    # 32768-multiple buckets (trainer _budget_bucket granularity): the
-    # sort and instance pack pay ~7ns per STATIC slot, so pow2 sizing
-    # wasted up to 2x; 1.3x margin over the probe's slot demand
-    budget = max(1 << 14, -(-(n_inst * 13 // 10) // 32768) * 32768)
+    # Right-size the instance budget with a REHEARSAL PASS: the sort,
+    # the binning payload gather/scatter, and the instance pack all pay
+    # the STATIC budget (index-bound, ~7ns/slot), so a serving
+    # deployment dry-runs its animation once, records the max slot
+    # demand, and sizes the arena to it. The block's pose trajectory is
+    # deterministic (the 1e-30 pixel term is numerically invisible), so
+    # probing every frame's demand at the big static cap gives the
+    # exact max; 1.15x margin + 8192-granularity buckets then waste
+    # ~15% instead of the up-to-2x of pow2 sizing (the r4 first cut:
+    # one base-pose probe x1.3 into 32768 buckets; trained-avatar
+    # serving still carried 262144 slots for ~155k of demand).
+    probe = jax.jit(lambda p: frame_full(p, IBUDGET)["n_slots"])
+    pose, demands = base_pose, []
+    for i in range(FRAMES):
+        demands.append(int(probe(pose)))
+        pose = pose + 0.01 * jnp.sin(
+            jnp.float32(i) + jnp.arange(69, dtype=jnp.float32))
+    n_inst = max(demands)
+    budget = max(1 << 14, -(-(n_inst * 23 // 20) // 8192) * 8192)
     budget = min(budget, IBUDGET)
-    print(f"probe: {n_inst} slots -> budget {budget} "
+    print(f"rehearsal: max {n_inst} slots over {FRAMES} frames "
+          f"(min {min(demands)}) -> budget {budget} "
           f"(static cap {IBUDGET})", flush=True)
 
     def frame(pose):
@@ -241,7 +251,9 @@ def main():
                           "multi-chip hardware reachable here to "
                           "measure (SCALING.md)",
     }
-    ev = os.path.join(os.path.dirname(__file__), "..", "evidence")
+    # smoke runs must never clobber the on-chip evidence artifacts
+    ev = "/tmp" if SMOKE else os.path.join(
+        os.path.dirname(__file__), "..", "evidence")
     name = "fps_trained_tpu.json" if CKPT else "fps_bench_tpu.json"
     with open(os.path.join(ev, name), "w") as fo:
         json.dump(out, fo, indent=1)

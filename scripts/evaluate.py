@@ -43,6 +43,11 @@ def main():
     # serving-time capacity right-sizing: identical outputs (tests/
     # test_compact.py), ~2.5x faster frames on trained checkpoints
     trainer.compact_for_eval()
+    # rehearsal pass: probe the val/anim frames' instance-slot demand
+    # (binning only, blend DCE'd) and shrink the static budget to it —
+    # binning/sort/pack are index-bound on the budget (trainer.py::
+    # rehearse_budget; 1.6x on fragment-heavy serving workloads)
+    trainer.rehearse_budget()
     metrics = trainer.validate()
     with open(os.path.join(args.output_dir, "results_eval.json"), "w") as f:
         json.dump(metrics, f, indent=2)

@@ -196,3 +196,47 @@ def test_human_scene_compact_joint_render():
     cp, cs, cc = hgs.compact_for_inference(params, state, canon)
     img_small = joint(cp, cs, cc, sgs.compact(gs))
     np.testing.assert_allclose(img_small, img_full, atol=1e-5)
+
+
+def test_rehearse_budget_parity_and_guard():
+    """rehearse_budget (eval-only) shrinks the instance budget to the
+    measured slot demand; renders through the tightened closures must
+    match the original-budget renders, and the mid-training guard
+    fires without cfg.eval."""
+    import pytest
+    from hugs_tpu.cfg import default_config
+    from hugs_tpu.train.trainer import GaussianTrainer
+
+    cfg = default_config()
+    cfg.mode = "human"
+    cfg.human.triplane_res = 16
+    cfg.human.n_subdivision = 0
+    cfg.human.run_init = False
+    cfg.tpu.human_capacity = 512
+    cfg.tpu.smpl_vpb = 8
+    cfg.tpu.tile_cap = 256
+    cfg.tpu.instance_budget = 65536   # deliberately roomy
+    cfg.logdir = ""
+    cfg.logdir_ckpt = ""
+    cfg.eval = True
+    tr = GaussianTrainer(cfg, None, None, None)
+
+    pose = np.zeros(69, np.float32)
+    pose[3] = 0.4
+    data = {"camera": _camera(), "width": W, "height": H,
+            "global_orient": np.zeros(3, np.float32), "body_pose": pose,
+            "betas": np.zeros(10, np.float32),
+            "transl": np.zeros(3, np.float32),
+            "smpl_scale": np.float32(1.0)}
+    full = tr.render_frame(data, render_mode="human",
+                           bg=jnp.zeros(3))["render"]
+    b = tr.rehearse_budget([data])
+    assert b == tr._ibudget and b < 65536
+    tight = tr.render_frame(data, render_mode="human",
+                            bg=jnp.zeros(3))["render"]
+    np.testing.assert_allclose(np.asarray(tight), np.asarray(full),
+                               atol=1e-5)
+
+    tr.cfg.eval = False
+    with pytest.raises(RuntimeError):
+        tr.rehearse_budget([data])

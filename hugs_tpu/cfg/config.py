@@ -181,6 +181,14 @@ def default_config() -> Config:
             "instance_budget": 0,           # 0 => auto (4x capacity)
             "tile_cap": 1024,
             "mesh_shape": [1],              # device mesh (data/tile axes)
+            "gauss_shard": 0,              # >0: shard Gaussians over this
+            #   many devices for EVAL/serving renders (render_frame /
+            #   validate / animate) via the one-all_to_all fragment
+            #   exchange (parallel/gauss_shard.py) — for scenes too big
+            #   to replicate per chip. (h_cap+s_cap) must divide by it.
+            "gauss_frag_cap": 0,           # 0 => safe default (local
+            #   budget); tighten to cut exchange volume, see
+            #   tests/test_gauss_shard.py frag-skew measurement
             "lpips_weights": "",           # path to converted lpips .npz
             "smpl_vpb": 32,                # synthetic-SMPL fallback size
             #   (verts per bone) when no data/smpl exists — recorded so

@@ -129,6 +129,29 @@ def dilate_mask(msk: np.ndarray, k: int = 20) -> np.ndarray:
     return out
 
 
+def remove_statistical_outliers(xyz: np.ndarray, nb_neighbors: int = 100,
+                                std_ratio: float = 0.5) -> np.ndarray:
+    """Statistical outlier removal == open3d
+    remove_statistical_outlier(nb_neighbors, std_ratio) (reference
+    neuman.py:234-244, behind cfg.scene.clean_pcd): for each point take
+    the mean distance to its nb_neighbors nearest neighbors, then drop
+    points whose mean distance exceeds
+    global_mean + std_ratio * global_std. Returns inlier indices.
+    Host-side preprocessing at dataset-build time — scipy cKDTree, not
+    a device op."""
+    from scipy.spatial import cKDTree
+    n = xyz.shape[0]
+    k = min(nb_neighbors, n - 1)
+    if k < 1:
+        return np.arange(n)
+    tree = cKDTree(np.asarray(xyz, np.float64))
+    # k+1 including the query point itself (distance 0, excluded)
+    dists, _ = tree.query(xyz, k=k + 1, workers=-1)
+    mean_d = dists[:, 1:].mean(axis=1)
+    thresh = mean_d.mean() + std_ratio * mean_d.std()
+    return np.flatnonzero(mean_d <= thresh)
+
+
 def camera_extent(c2w_positions: np.ndarray) -> float:
     """3DGS 'nerf normalization' radius: 1.1 x max camera distance from
     the average camera center (spatial_lr_scale / densify extent)."""
@@ -141,7 +164,8 @@ class NeumanDataset:
     def __init__(self, root: str, seq: str, split: str,
                  render_mode: str = "human_scene",
                  add_bg_points: bool = False, num_bg_points: int = 204_800,
-                 bg_sphere_dist: float = 5.0, amass_root: str | None = None,
+                 bg_sphere_dist: float = 5.0, clean_pcd: bool = False,
+                 amass_root: str | None = None,
                  cache: bool = True):
         self.seq = seq
         self.split = split
@@ -175,6 +199,11 @@ class NeumanDataset:
 
         # point cloud (+ bg sphere, reference neuman.py:246-273)
         pcd_xyz, pcd_col = scene.points, scene.colors
+        if clean_pcd:
+            # reference neuman.py:234-244 (open3d statistical outlier
+            # removal, default-off in every release config)
+            keep = remove_statistical_outliers(pcd_xyz)
+            pcd_xyz, pcd_col = pcd_xyz[keep], pcd_col[keep]
         if add_bg_points:
             mx, mn = pcd_xyz.max(0), pcd_xyz.min(0)
             center, size = (mx + mn) / 2, np.max(mx - mn)

@@ -59,6 +59,7 @@ def make_dp_tile_train_step(
     tile: int = TILE,
     backend: str = "tiled",
     optim_scene: bool = True,
+    mode: str = "human_scene",
 ):
     """Build the jitted sharded joint train step.
 
@@ -73,13 +74,21 @@ def make_dp_tile_train_step(
 
     backend: 'tiled' (XLA blend) or 'pallas' (the TPU kernel; runs in
     interpret mode off-TPU, so the CPU-mesh tests exercise the real
-    kernel path's plumbing under shard_map)."""
+    kernel path's plumbing under shard_map).
+
+    mode: 'human_scene' (joint render+loss) or 'human' — the staged-
+    start phase before scene.opt_start_iter (reference
+    gs_trainer.py:248-252: scene not rendered, render_mode='human'
+    loss masking, scene optimizer untouched). The step keeps the SAME
+    signature/aux shapes; scene grads are structurally zero (pass
+    optim_scene=False so Adam doesn't run on them)."""
     if loss_fn is None:
         loss_fn = HumanSceneLoss()
+    human_only = mode == "human"
     n_tile = mesh.shape["tile"]
     band_h = _band_height(height, n_tile, tile)
     n_data = mesh.shape["data"]
-    render_human_separate = loss_fn.l_humansep_w > 0.0
+    render_human_separate = loss_fn.l_humansep_w > 0.0 and not human_only
     lf = loss_fn._replace(lpips=lpips) if lpips is not None else loss_fn
 
     def band_render(pg, bg, t):
@@ -117,19 +126,31 @@ def make_dp_tile_train_step(
             h_out = hgs.human_forward(h_params, h_state, fixed, cfg,
                                       smpl_scale=smpl_scale,
                                       dataset_idx=dataset_idx)
-            s_out = sgs.scene_forward(sgs.with_params(s_gs, s_params))
-            xyz = jnp.concatenate([h_out["xyz"], s_out["xyz"]], axis=0)
-            scales = jnp.concatenate([h_out["scales"], s_out["scales"]],
-                                     axis=0)
-            rotq = jnp.concatenate([h_out["rotq"], s_out["rotq"]], axis=0)
-            opac = jnp.concatenate([h_out["opacity"], s_out["opacity"]],
-                                   axis=0)
-            shs = jnp.concatenate([h_out["shs"], s_out["shs"]], axis=0)
-            alive = jnp.concatenate([h_out["alive"], s_out["alive"]])
+            if human_only:
+                # staged start: the scene is neither rendered nor
+                # differentiated; s_params stays out of the graph so
+                # its grads are structurally zero
+                xyz, scales, rotq = (h_out["xyz"], h_out["scales"],
+                                     h_out["rotq"])
+                opac, shs, alive = (h_out["opacity"], h_out["shs"],
+                                    h_out["alive"])
+                hook_used = hook[:h_cap]
+            else:
+                s_out = sgs.scene_forward(sgs.with_params(s_gs, s_params))
+                xyz = jnp.concatenate([h_out["xyz"], s_out["xyz"]], axis=0)
+                scales = jnp.concatenate(
+                    [h_out["scales"], s_out["scales"]], axis=0)
+                rotq = jnp.concatenate([h_out["rotq"], s_out["rotq"]],
+                                       axis=0)
+                opac = jnp.concatenate(
+                    [h_out["opacity"], s_out["opacity"]], axis=0)
+                shs = jnp.concatenate([h_out["shs"], s_out["shs"]], axis=0)
+                alive = jnp.concatenate([h_out["alive"], s_out["alive"]])
+                hook_used = hook
             pg = project_gaussians(xyz, scales, rotq, opac, shs, camera,
                                    width, height,
                                    h_out["active_sh_degree"], alive=alive)
-            pg = update_mean2d(pg, hook)
+            pg = update_mean2d(pg, hook_used)
             img, overflowed, n_slots = band_render(pg, bg, t)
             pkg = {"render": img,
                    "radii": pg.radius,
@@ -149,9 +170,12 @@ def make_dp_tile_train_step(
                     pg_h.radius > 0)
             data = {"camera": camera, "width": width, "height": height,
                     "rgb": gt, "mask": mask}
+            # human phase: bg doubles as the composite color, matching
+            # the single-device human_step (human_step.py:186-187)
             total, loss_dict, _ = lf(key, data, pkg, h_out,
-                                     render_mode="human_scene",
-                                     bg_color=bg, human_bg_color=hbg)
+                                     render_mode=mode, bg_color=bg,
+                                     human_bg_color=bg if human_only
+                                     else hbg)
             # Replication accounting for the grad psum over 'tile':
             #  - pixel terms: the loss is computed identically on every
             #    tile chip from the gathered image, and all_gather's
@@ -171,8 +195,14 @@ def make_dp_tile_train_step(
             h_radii = pkg.get("human_radii", pkg["radii"][:h_cap])
             h_vis = pkg.get("human_visibility_filter",
                             pkg["visibility_filter"][:h_cap])
-            radii = jnp.concatenate([h_radii, pkg["radii"][h_cap:]])
-            vis = jnp.concatenate([h_vis, pkg["visibility_filter"][h_cap:]])
+            if human_only:     # scene not rendered: empty densify stats
+                s_radii = jnp.zeros((s_cap,), h_radii.dtype)
+                s_vis = jnp.zeros((s_cap,), jnp.bool_)
+            else:
+                s_radii = pkg["radii"][h_cap:]
+                s_vis = pkg["visibility_filter"][h_cap:]
+            radii = jnp.concatenate([h_radii, s_radii])
+            vis = jnp.concatenate([h_vis, s_vis])
             aux = (total, loss_dict, overflowed, n_slots, radii, vis,
                    h_out["opacity"], h_out["scales_canon"],
                    h_out["rotmat_canon"])

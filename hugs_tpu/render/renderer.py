@@ -49,12 +49,52 @@ def render(
     tile_cap: int = 1024,
     tile: int | None = None,
     power_mxu: bool | None = None,
+    gauss_mesh=None,
+    gauss_frag_cap: int | None = None,
 ) -> dict[str, Any]:
     """Render one view. Returns dict with 'render' (3, H, W), 'radii' (N,),
     'visibility_filter' (N,) bool, 'overflowed' (scalar bool diagnostics).
-    """
+
+    gauss_mesh: a ('gauss',)-axis jax.sharding.Mesh routes the blend
+    through the Gaussian-sharded renderer (parallel/gauss_shard.py:
+    primitives sharded over chips, one fragment all_to_all over ICI) —
+    the serving path for Gaussian sets too large to replicate per chip.
+    instance_budget is interpreted as the GLOBAL budget (split evenly
+    per chip); gauss_frag_cap bounds the per-(sender, band) exchange
+    packet. Eval/serving only: no densification hook."""
     if bg is None:
         bg = jnp.zeros(3, jnp.float32)
+    if gauss_mesh is not None:
+        if mean2d_grad_hook is not None:
+            raise ValueError("gauss-sharded rendering is a serving path: "
+                             "densification hooks are not supported")
+        from hugs_tpu.parallel.gauss_shard import render_gauss_sharded
+        ndev = gauss_mesh.shape["gauss"]
+        local_budget = (max(instance_budget // ndev, 1 << 12)
+                        if instance_budget else None)
+        out = render_gauss_sharded(
+            means3d, scales, rotq, opacity, shs, camera, width, height,
+            gauss_mesh, bg=bg, active_sh_degree=active_sh_degree,
+            scaling_modifier=scaling_modifier, alive=alive,
+            local_budget=local_budget, frag_cap=gauss_frag_cap,
+            tile_cap=tile_cap,
+            tile=tile or (32 if backend == "pallas" else TILE),
+            backend=backend)
+        # radii/visibility for the pkg contract (human/scene slice
+        # bookkeeping): one replicated projection — cheap next to the
+        # sharded blend, and identical to what each shard computed
+        pg = project_gaussians(means3d, scales, rotq, opacity, shs,
+                               camera, width, height, active_sh_degree,
+                               scaling_modifier, alive=alive)
+        return {
+            "render": out["render"],
+            "radii": pg.radius,
+            "visibility_filter": pg.mask & (pg.radius > 0),
+            "overflowed": out["overflowed"],
+            "n_instances": jnp.int32(0),
+            "n_slots": jnp.int32(0),
+            "frag_counts": out["frag_counts"],
+        }
     pg = project_gaussians(means3d, scales, rotq, opacity, shs, camera,
                            width, height, active_sh_degree, scaling_modifier,
                            alive=alive)

@@ -184,6 +184,34 @@ class GaussianTrainer:
 
     # ------------------------------------------------------------- utils
 
+    def _get_gauss_mesh(self, n):
+        """1-D ('gauss',) mesh over the first n devices, built once."""
+        if getattr(self, "_gauss_mesh", None) is None \
+                or self._gauss_mesh.shape["gauss"] != n:
+            from jax.sharding import Mesh
+            devs = jax.devices()
+            if len(devs) < n:
+                raise ValueError(
+                    f"tpu.gauss_shard={n} but only {len(devs)} devices")
+            self._gauss_mesh = Mesh(np.array(devs[:n]), ("gauss",))
+        return self._gauss_mesh
+
+    def _eval_render_kw(self, budget=None):
+        """Render kwargs for EVAL closures (render_frame/_val_frame):
+        training kwargs + optional Gaussian-sharded serving routing
+        (cfg.tpu.gauss_shard devices; VERDICT r4 item 4 — scenes too
+        large to replicate per chip). Training steps never see these."""
+        rkw = dict(self._render_kw())
+        if budget is not None:
+            rkw["instance_budget"] = budget
+        gshard = int(self.cfg.tpu.get("gauss_shard", 0) or 0)
+        if gshard:
+            rkw.update(
+                gauss_mesh=self._get_gauss_mesh(gshard),
+                gauss_frag_cap=int(self.cfg.tpu.get(
+                    "gauss_frag_cap", 0) or 0) or None)
+        return rkw
+
     def _render_kw(self):
         t = self.cfg.tpu
         return dict(backend=t.render_backend,
@@ -326,6 +354,12 @@ class GaussianTrainer:
                           f"(dropped Gaussian instances degrade quality)")
             self._periodic(t_iter, aux, data)
         self._finish_progress_video()
+        # final checkpoint (reference gs_trainer saves at train end; the
+        # interval ckpts alone miss the last num_steps % interval steps —
+        # the r4 flagship FPS bench would have served a 10k-step model)
+        if cfg.logdir and cfg.train.num_steps % \
+                cfg.train.save_ckpt_interval != 0:
+            self.save_ckpt(cfg.train.num_steps)
         return log
 
     def _train_step(self, t_iter, idx, data, camera, gt, mask, W, H, bg,
@@ -376,11 +410,15 @@ class GaussianTrainer:
 
     # -------------------------------------------------- batched training
 
-    def _get_dp_step(self, W, H, n_data):
+    def _get_dp_step(self, W, H, n_data, mode="human_scene"):
         """Build (and cache) the dp x tile sharded joint step used for
         train.batch_size > 1: frames are the 'data' axis, spread over
-        n_data devices with the remainder vmapped per chip."""
-        key = (W, H, n_data, self._ibudget)
+        n_data devices with the remainder vmapped per chip. mode='human'
+        is the staged-start phase before scene.opt_start_iter (scene
+        neither rendered nor optimized, reference gs_trainer.py:248-252);
+        both phases share signature/state so the switch at
+        opt_start_iter is just a different cached closure."""
+        key = (W, H, n_data, self._ibudget, mode)
         if getattr(self, "_dp_cache_key", None) != key:
             from jax.sharding import Mesh
             from hugs_tpu.parallel.train_dp_tile import \
@@ -394,7 +432,9 @@ class GaussianTrainer:
                 lpips=(self.lpips if self.loss_fn.l_lpips_w > 0 else None),
                 tile_cap=int(t.tile_cap), instance_budget=self._ibudget,
                 backend=t.render_backend,
-                optim_scene=self.cfg.train.optim_scene)
+                optim_scene=(self.cfg.train.optim_scene
+                             and mode == "human_scene"),
+                mode=mode)
             self._dp_cache_key = key
         return self._dp_step
 
@@ -410,9 +450,7 @@ class GaussianTrainer:
                 "train.batch_size > 1 runs the joint dp x tile sharded "
                 "step and needs mode='human_scene' (got mode="
                 f"'{cfg.mode}')")
-        if cfg.scene.opt_start_iter > 0:
-            raise ValueError("batch_size > 1 with a delayed "
-                             "scene.opt_start_iter is not supported")
+        opt_start = max(int(cfg.scene.opt_start_iter), 0)
         # largest divisor of the batch that fits the local device count
         n_dev = len(jax.devices())
         n_data = max(d for d in range(1, min(bsz, n_dev) + 1)
@@ -448,9 +486,12 @@ class GaussianTrainer:
             s_lr = jnp.float32(self.s_xyz_sched(t_iter))
             sync = self._is_sync_step(t_iter)
             vals = None
+            scene_on = t_iter >= opt_start
             for _attempt in range(3):
                 snap = (self.human, self.scene, self.key)
-                step = self._get_dp_step(W, H, n_data)
+                step = self._get_dp_step(
+                    W, H, n_data,
+                    mode="human_scene" if scene_on else "human")
                 jstate, aux = step(
                     JointTrainState(human=self.human, scene=self.scene),
                     cams, gts, masks, bgs, hbgs, scales, didx, keys,
@@ -474,7 +515,8 @@ class GaussianTrainer:
                 print(f"WARNING: tile-instance budget overflow persists "
                       f"at iter {t_iter} (budget={self._ibudget})")
             self._maybe_densify_human(t_iter, aux)
-            self._maybe_densify_scene(t_iter)
+            if scene_on:
+                self._maybe_densify_scene(t_iter)
             if t_iter % 10 == 0 and vals is not None:
                 rec = {"iter": t_iter, "loss": float(vals[0]),
                        "elapsed_s": time.time() - t_start}
@@ -614,12 +656,27 @@ class GaussianTrainer:
                 except Exception as e:          # noqa: BLE001
                     print(f"WARNING: validate({t_iter}) failed "
                           f"(continuing training): {e}")
+            if t_iter == 0:
+                # reference gs_trainer.py:362-369: scene + canonical-
+                # human PLY dumps and a canonical turntable at iter 0
+                try:
+                    self._iter0_dumps()
+                except Exception as e:          # noqa: BLE001
+                    print(f"WARNING: iter-0 dumps failed "
+                          f"(continuing training): {e}")
             anim_every = int(cfg.train.get("anim_interval", 0) or 0)
             if t_iter > 0 and anim_every > 0 \
-                    and t_iter % anim_every == 0 \
-                    and self.anim_dataset is not None:
+                    and t_iter % anim_every == 0:
+                # reference gs_trainer.py:371-378: human PLY + animate +
+                # canonical turntable every anim_interval
                 try:
-                    self.animate(t_iter)
+                    self._save_human_ply(t_iter)
+                    if self.anim_dataset is not None:
+                        self.animate(t_iter)
+                    if cfg.mode in ("human", "human_scene") \
+                            and self.human is not None:
+                        self.render_canonical(
+                            t_iter, nframes=cfg.human.canon_nframes)
                 except Exception as e:          # noqa: BLE001
                     print(f"WARNING: animate({t_iter}) failed "
                           f"(continuing training): {e}")
@@ -667,11 +724,12 @@ class GaussianTrainer:
         W, H = data["width"], data["height"]
         budget = int(budget or self._ibudget)
         key = ("rf", render_mode, W, H, budget,
-               ext_tfs is not None, use_dataset_pose, outputs)
+               ext_tfs is not None, use_dataset_pose, outputs,
+               int(self.cfg.tpu.get("gauss_shard", 0) or 0))
         fn = self._crop_metric_cache.get(key)
         if fn is None:
             fixed, hcfg = self.fixed, self.human_cfg
-            rkw = dict(self._render_kw(), instance_budget=budget)
+            rkw = self._eval_render_kw(budget)
             mode = render_mode
 
             @jax.jit
@@ -694,18 +752,33 @@ class GaussianTrainer:
                 return tuple(pkg[k] for k in outputs) if outputs else pkg
             self._crop_metric_cache[key] = fn
         z3 = jnp.zeros(3)
-        return fn(self.human.params if self.human is not None else None,
-                  self.human.state if self.human is not None else None,
-                  self.scene.gs if self.scene is not None else None,
-                  data["camera"],
-                  jnp.asarray(data.get("global_orient", z3)),
-                  jnp.asarray(data.get("body_pose", jnp.zeros(69))),
-                  jnp.asarray(data.get("betas", jnp.zeros(10))),
-                  jnp.asarray(data.get("transl", z3)),
-                  jnp.asarray(data.get("smpl_scale", 1.0),
-                              jnp.float32).reshape(()),
-                  jnp.int32(0), ext_tfs,
-                  self.bg_color if bg is None else bg)
+        out = fn(self.human.params if self.human is not None else None,
+                 self.human.state if self.human is not None else None,
+                 self.scene.gs if self.scene is not None else None,
+                 data["camera"],
+                 jnp.asarray(data.get("global_orient", z3)),
+                 jnp.asarray(data.get("body_pose", jnp.zeros(69))),
+                 jnp.asarray(data.get("betas", jnp.zeros(10))),
+                 jnp.asarray(data.get("transl", z3)),
+                 jnp.asarray(data.get("smpl_scale", 1.0),
+                             jnp.float32).reshape(()),
+                 jnp.int32(0), ext_tfs,
+                 self.bg_color if bg is None else bg)
+        # After rehearse_budget tightened the arena to 1.15x of PROBED
+        # demand, a frame outside the rehearsed set can exceed it and
+        # silently drop instances (ADVICE r4). Spot-check the first
+        # render of each closure (one scalar fetch per cache key, not
+        # per frame).
+        if getattr(self, "_budget_rehearsed", False) and outputs is None:
+            checked = self.__dict__.setdefault("_overflow_checked", set())
+            if key not in checked:
+                checked.add(key)
+                if bool(out["overflowed"]):
+                    print(f"WARNING: instance budget {budget} overflowed "
+                          f"on a non-rehearsed render (closure {key[1]} "
+                          f"{W}x{H}) — image drops instances; re-run "
+                          f"rehearse_budget with these frames included")
+        return out
 
     # ------------------------------------------------------ validation
 
@@ -770,10 +843,12 @@ class GaussianTrainer:
         # keyed on the live instance budget: auto-grow (_check_budget)
         # must invalidate the cached closure, not silently render eval
         # frames at the stale smaller budget
-        key = ("val", mode, W, H, self._ibudget)
+        key = ("val", mode, W, H, self._ibudget,
+               int(self.cfg.tpu.get("gauss_shard", 0) or 0))
         fn = self._crop_metric_cache.get(key)
         if fn is None:
-            fixed, hcfg, rkw = self.fixed, self.human_cfg, self._render_kw()
+            fixed, hcfg = self.fixed, self.human_cfg
+            rkw = self._eval_render_kw()
 
             @jax.jit
             def fn(h_params, h_state, s_gs, camera, go, bp, betas, transl,
@@ -965,26 +1040,84 @@ class GaussianTrainer:
                          fps=20)
         return frames
 
-    def render_canonical(self, nframes=8, img_size=128, pose_type=None):
+    def render_canonical(self, t_iter=None, nframes=8, img_size=128,
+                         pose_type=None):
+        """Rotating-camera renders of the canonical avatar (reference
+        render_canonical, gs_trainer.py:588-684); called at iter 0 and
+        every anim_interval like the reference train loop
+        (gs_trainer.py:362-378)."""
         from hugs_tpu.data.cameras import get_rotating_camera, \
             get_smpl_static_params
+        iter_s = "final" if t_iter is None else f"{t_iter:06d}"
         cams = get_rotating_camera(img_size=img_size, dist=5.0,
                                    nframes=nframes)
         betas = self.human.params.betas
         sp = get_smpl_static_params(
             betas, pose_type or self.cfg.human.canon_pose_type)
+        out_dir = f"{self.cfg.logdir}/canon/{iter_s}" \
+            if self.cfg.logdir else None
         frames = []
         for cp in cams:
             data = dict(sp, **cp)
             pkg = self.render_frame(data, render_mode="human")
             frames.append(np.asarray(pkg["render"]))
-            if self.cfg.logdir:
-                save_png(frames[-1],
-                         f"{self.cfg.logdir}/canon/{len(frames):05d}.png")
-        if self.cfg.logdir and len(frames) > 1:
-            create_video(f"{self.cfg.logdir}/canon",
-                         f"{self.cfg.logdir}/canon/canon.mp4", fps=10)
+            if out_dir:
+                save_png(frames[-1], f"{out_dir}/{len(frames):05d}.png")
+        if out_dir and len(frames) > 1:
+            create_video(out_dir,
+                         f"{self.cfg.logdir}/canon/canon_{iter_s}.mp4",
+                         fps=10)
         return frames
+
+    def _iter0_dumps(self):
+        """Iter-0 snapshot dumps (reference gs_trainer.py:362-369):
+        scene splat PLY, canonical human PLY, canonical turntable."""
+        cfg = self.cfg
+        if self.scene is not None:
+            gs = self.scene.gs
+            alive = np.asarray(gs.alive)
+            from hugs_tpu.utils.ply import save_gaussian_ply
+            save_gaussian_ply(
+                f"{cfg.logdir}/meshes/scene_000000_splat.ply",
+                np.asarray(gs.xyz)[alive],
+                np.asarray(gs.features_dc)[alive],
+                np.asarray(gs.features_rest)[alive],
+                np.asarray(gs.opacity)[alive],
+                np.asarray(gs.scaling)[alive],
+                np.asarray(gs.rotation)[alive])
+        self._save_human_ply(0)
+        if cfg.mode in ("human", "human_scene") and self.human is not None:
+            self.render_canonical(0, nframes=cfg.human.canon_nframes)
+
+    def _save_human_ply(self, t_iter):
+        """Canonical human-Gaussian PLY dump (reference save_ply(
+        human_gs_out, meshes/human_{iter}_splat.ply) at iter 0 and every
+        anim_interval, gs_trainer.py:362-375). One cached jitted closure
+        — the canonical attrs are pose-independent, so any pose works;
+        eager per-op dispatch would cost ~85 ms/op through this
+        environment's TPU relay."""
+        if self.human is None or not self.cfg.logdir:
+            return
+        iter_s = "final" if t_iter is None else f"{t_iter:06d}"
+        fn = self._crop_metric_cache.get("human_ply")
+        if fn is None:
+            fixed, hcfg = self.fixed, self.human_cfg
+
+            @jax.jit
+            def fn(h_params, h_state):
+                o = hgs.human_forward(
+                    h_params, h_state, fixed, hcfg,
+                    global_orient=jnp.zeros(3), body_pose=jnp.zeros(69),
+                    betas=h_params.betas, transl=jnp.zeros(3),
+                    smpl_scale=jnp.float32(1.0), compute_gt_lbs=False)
+                return {k: o[k] for k in
+                        ("xyz_canon", "shs", "opacity", "scales_canon",
+                         "rotq_canon", "alive")}
+            self._crop_metric_cache["human_ply"] = fn
+        from hugs_tpu.utils.vis import save_human_ply
+        save_human_ply(
+            jax.device_get(fn(self.human.params, self.human.state)),
+            f"{self.cfg.logdir}/meshes/human_{iter_s}_splat.ply")
 
     # ------------------------------------------------------ checkpoints
 
@@ -1071,14 +1204,32 @@ class GaussianTrainer:
                 ext = (jnp.asarray(data["manual_trans"]),
                        jnp.asarray(data["manual_rotmat"]),
                        jnp.asarray(data["manual_scale"]).reshape(()))
-            (n_slots,) = self.render_frame(data, ext_tfs=ext,
-                                           outputs=("n_slots",),
-                                           budget=cap)
+            # n_slots is a LOWER BOUND once the probe cap itself clips
+            # (tiles.py:349-353) — a clipped probe would tighten the
+            # budget below true demand and every later render of that
+            # frame would silently drop instances (ADVICE r4). Grow the
+            # cap and re-probe until the probe itself fits.
+            for _ in range(8):
+                n_slots, over = self.render_frame(
+                    data, ext_tfs=ext, outputs=("n_slots", "overflowed"),
+                    budget=cap)
+                if not bool(over):
+                    break
+                cap = max(cap * 2,
+                          -(-(int(n_slots) * 3 // 2) // 8192) * 8192)
+            else:
+                raise RuntimeError(
+                    f"rehearse_budget: probe still overflowed at cap "
+                    f"{cap} — scene demand is pathological")
             demand = max(demand, int(n_slots))
         if demand:
             self._ibudget = min(
                 max(1 << 14, -(-(demand * 23 // 20) // 8192) * 8192),
                 cap)
+            # non-rehearsed frames (render_canonical, caller-supplied
+            # pose lists) now run at 1.15x of PROBED demand; flag so
+            # render_frame spot-checks their first render (ADVICE r4)
+            self._budget_rehearsed = True
         return self._ibudget
 
 
@@ -1154,7 +1305,7 @@ def render_poses(trainer: "GaussianTrainer", camera_params: list,
 
     renders = {}
     imgs = []
-    for cp in camera_params:
+    for fi, cp in enumerate(camera_params):
         data, *args = args_of(cp)
         wh = (data["width"], data["height"])
         b = budget
@@ -1167,5 +1318,12 @@ def render_poses(trainer: "GaussianTrainer", camera_params: list,
             if not bool(over):
                 break
             b = -(-(int(n_slots) * 3 // 2) // 8192) * 8192
+        else:
+            # still clipped after all grow-retries: the appended image
+            # drops instances — say so instead of silently degrading
+            # (ADVICE r4)
+            print(f"WARNING: render_poses frame {fi} still overflows "
+                  f"the instance budget after retries (final budget "
+                  f"{b}, demand > {int(n_slots)}) — image is degraded")
         imgs.append(np.asarray(img))
     return imgs

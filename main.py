@@ -35,7 +35,8 @@ def build_datasets(cfg):
         kw = dict(render_mode=cfg.mode,
                   add_bg_points=cfg.scene.add_bg_points,
                   num_bg_points=cfg.scene.num_bg_points,
-                  bg_sphere_dist=cfg.scene.bg_sphere_dist)
+                  bg_sphere_dist=cfg.scene.bg_sphere_dist,
+                  clean_pcd=cfg.scene.clean_pcd)
         if not cfg.eval:
             train_ds = NeumanDataset(root, cfg.dataset.seq, "train", **kw)
         val_ds = NeumanDataset(root, cfg.dataset.seq, "val",

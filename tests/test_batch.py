@@ -18,6 +18,8 @@ from hugs_tpu.models.smpl import synthetic_smpl
 from hugs_tpu.render import make_camera
 from tests.test_data import write_fake_neuman
 
+pytestmark = pytest.mark.slow  # 8-device shard_map compiles dominate suite time
+
 
 @pytest.fixture(scope="module")
 def env(tmp_path_factory):
@@ -121,3 +123,31 @@ def test_batched_training_rejects_non_joint(env):
     t.scene = None
     with pytest.raises(ValueError):
         t._train_batched()
+
+
+def test_batched_training_staged_scene_start(env):
+    """opt_start_iter > 0 batched: before the boundary the scene is
+    neither rendered nor optimized (reference gs_trainer.py:248-252 /
+    349-351); after it, scene params move (VERDICT r4 item 7c)."""
+    trainer = env
+    cfg = trainer.cfg
+    old_steps, old_start = cfg.train.num_steps, cfg.scene.opt_start_iter
+    cfg.train.num_steps = 3
+    cfg.scene.opt_start_iter = 2
+    s_xyz0 = np.asarray(trainer.scene.gs.xyz).copy()
+    trainer._dp_cache_key = None     # drop any cached joint-phase step
+    try:
+        # run the human phase only (iters 0..1): scene must be frozen
+        cfg.train.num_steps = 1
+        log = trainer.train()
+        assert np.isfinite([e["loss"] for e in log]).all()
+        np.testing.assert_array_equal(np.asarray(trainer.scene.gs.xyz),
+                                      s_xyz0)
+        # continue across the boundary: scene starts moving
+        cfg.train.num_steps = 3
+        trainer.train()
+        assert np.abs(np.asarray(trainer.scene.gs.xyz) - s_xyz0).max() > 0
+    finally:
+        cfg.train.num_steps = old_steps
+        cfg.scene.opt_start_iter = old_start
+        trainer._dp_cache_key = None

@@ -284,3 +284,27 @@ def test_rotating_camera_look_at():
         np.testing.assert_allclose(float(pg.depth[0]), 4.2, atol=1e-5)
         np.testing.assert_allclose(np.asarray(pg.mean2d[0]),
                                    [59.5, 33.5], atol=1e-3)
+
+
+def test_clean_pcd_statistical_outlier_removal(neuman_root):
+    """clean_pcd == open3d remove_statistical_outlier(100, 0.5) semantics
+    (reference neuman.py:234-244): far-flung points whose mean kNN
+    distance exceeds mean + 0.5*std of the population are dropped,
+    dense-cluster points survive."""
+    from hugs_tpu.data.neuman import remove_statistical_outliers
+
+    rng = np.random.RandomState(0)
+    cluster = rng.normal(size=(400, 3)).astype(np.float32) * 0.5
+    outliers = np.array([[50.0, 0, 0], [0, -80.0, 0], [0, 0, 120.0]],
+                        np.float32)
+    pts = np.concatenate([cluster, outliers])
+    keep = remove_statistical_outliers(pts, nb_neighbors=100,
+                                       std_ratio=0.5)
+    assert set(range(400, 403)).isdisjoint(keep)   # outliers dropped
+    assert len(keep) > 350                         # cluster survives
+
+    # flag plumbed through the dataset ctor (default off keeps all)
+    base = NeumanDataset(neuman_root, "lab", "train")
+    cleaned = NeumanDataset(neuman_root, "lab", "train", clean_pcd=True)
+    assert cleaned.init_pcd[0].shape[0] <= base.init_pcd[0].shape[0]
+    assert cleaned.init_pcd[0].shape[0] > 0

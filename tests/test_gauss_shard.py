@@ -4,11 +4,14 @@ primitives sharded over chips with per-tile fragment exchange)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hugs_tpu.parallel import make_mesh
 from hugs_tpu.parallel.gauss_shard import render_gauss_sharded
 from hugs_tpu.render import render
 from tests.test_sharding import make_scene, W, H
+
+pytestmark = pytest.mark.slow  # 8-device shard_map compiles dominate suite time
 
 
 def test_gauss_sharded_matches_single_device():
@@ -112,3 +115,39 @@ def test_gauss_sharded_pallas_backend_matches():
     for a, b in zip(g_sh, g_1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=2e-3)
+
+
+def test_trainer_flag_routes_gauss_shard(tmp_path_factory):
+    """cfg.tpu.gauss_shard reaches render_gauss_sharded from the
+    user-facing eval path (VERDICT r4 item 4): render_frame with the
+    flag == without, to fp tolerance."""
+    import os
+    from hugs_tpu.cfg import default_config
+    from hugs_tpu.data import NeumanDataset
+    from hugs_tpu.models.smpl import synthetic_smpl
+    from hugs_tpu.train.trainer import GaussianTrainer
+    from tests.test_data import write_fake_neuman
+
+    root = str(tmp_path_factory.mktemp("neuman"))
+    write_fake_neuman(root, n_frames=8, w=48, h=32)
+    cfg = default_config()
+    cfg.mode = "human_scene"
+    cfg.human.triplane_res = 16
+    cfg.human.n_subdivision = 0
+    cfg.human.use_deformer = True
+    cfg.human.disable_posedirs = True
+    cfg.tpu.scene_capacity = 256
+    cfg.tpu.human_capacity = 512      # 768 total, divisible by 8
+    cfg.tpu.instance_budget = 16384
+    cfg.logdir = cfg.logdir_ckpt = ""
+    val_ds = NeumanDataset(root, "lab", "val", render_mode=cfg.mode)
+    smpl = synthetic_smpl(verts_per_bone=8)
+    trainer = GaussianTrainer(cfg, None, val_ds, None, smpl_model=smpl)
+
+    data = val_ds[0]
+    ref = np.asarray(trainer.render_frame(data)["render"])
+    cfg.tpu.gauss_shard = 8
+    pkg = trainer.render_frame(data)
+    assert "frag_counts" in pkg and pkg["frag_counts"].shape == (8, 8)
+    np.testing.assert_allclose(np.asarray(pkg["render"]), ref, atol=2e-5)
+    cfg.tpu.gauss_shard = 0

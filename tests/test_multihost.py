@@ -120,6 +120,8 @@ for f in OVERLAP_XLA_FLAGS:
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
 import jax
+
+pytestmark = pytest.mark.slow  # 8-device shard_map compiles dominate suite time
 jax.devices()
 del os.environ["JAX_PLATFORMS"]
 assert enable_overlap_flags() is False

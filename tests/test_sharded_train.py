@@ -23,6 +23,8 @@ from hugs_tpu.train.scene_step import (init_scene_train_state,
 from hugs_tpu.train.joint_step import JointTrainState, joint_train_step
 from hugs_tpu.parallel.train_dp_tile import make_dp_tile_train_step
 
+pytestmark = pytest.mark.slow  # 8-device shard_map compiles dominate suite time
+
 W, H = 64, 64
 
 
@@ -74,7 +76,7 @@ def test_sharded_step_matches_joint_step(backend):
 
     js_sh = jstate
     js_1 = jstate
-    n_steps = 6 if backend == "tiled" else 2
+    n_steps = 6
     for it in range(n_steps):
         key = jax.random.PRNGKey(100 + it)
         h_lr = jnp.float32(h_sched(it))

@@ -9,6 +9,8 @@ from hugs_tpu.parallel import make_mesh, render_tile_sharded, \
     batch_render_sharded
 from hugs_tpu.render import render, make_camera
 
+pytestmark = pytest.mark.slow  # 8-device shard_map compiles dominate suite time
+
 W, H = 48, 32
 
 

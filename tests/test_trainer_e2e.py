@@ -28,6 +28,7 @@ def env(tmp_path_factory):
     cfg.human.disable_posedirs = True
     cfg.human.loss.lpips_w = 0.0
     cfg.human.loss.patch_size = 16
+    cfg.human.canon_nframes = 2   # iter-0 turntable (default 60)
     cfg.human.densify_from_iter = 4
     cfg.human.densification_interval = 6
     cfg.scene.densify_from_iter = 4
@@ -69,9 +70,14 @@ def test_trainer_full_cycle(env):
     # checkpoint written by the periodic hook at iter 8
     assert any(d.startswith("human_") for d in os.listdir(cfg.logdir_ckpt))
     assert any(d.startswith("scene_") for d in os.listdir(cfg.logdir_ckpt))
-    # PLY exported
-    assert any(f.endswith("_splat.ply")
-               for f in os.listdir(os.path.join(cfg.logdir, "meshes")))
+    # PLY exported: scene ckpt dumps + the iter-0 pair (reference
+    # gs_trainer.py:362-369 — scene AND canonical-human splat PLYs)
+    meshes = os.listdir(os.path.join(cfg.logdir, "meshes"))
+    assert any(f.endswith("_splat.ply") for f in meshes)
+    assert "human_000000_splat.ply" in meshes
+    assert "scene_000000_splat.ply" in meshes
+    # iter-0 canonical turntable written (gs_trainer.py:370-371)
+    assert os.path.isdir(os.path.join(cfg.logdir, "canon", "000000"))
 
     # canonical render runs
     frames = trainer.render_canonical(nframes=2, img_size=48)

@@ -60,7 +60,8 @@ def main():
 
     mesh = make_mesh(axis_names=("gauss",))
     D = mesh.shape["gauss"]
-    local_budget = 4 * (N // D)
+    local_budget = 16 * (N // D)   # roomy probe cap: sizing needs the
+    #                                TRUE demand, not a clipped bound
 
     cams = get_rotating_camera(img_size=(H, W), fov=0.95, dist=3.0,
                                nframes=6)
@@ -71,7 +72,7 @@ def main():
         out = render_gauss_sharded(
             pts, scales, rotq, opacity, shs, c["camera"], W, H, mesh,
             active_sh_degree=3, local_budget=local_budget,
-            tile_cap=4096)
+            tile_cap=32768)
         fc = np.asarray(out["frag_counts"])        # (sender, band)
         assert not bool(out["overflowed"])
         per_pair_max = max(per_pair_max, int(fc.max()))

@@ -41,9 +41,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def worker(args):
     sys.path.insert(0, REPO)
-    from hugs_tpu.parallel.multihost import (init_distributed,
+    from hugs_tpu.parallel.multihost import (enable_overlap_flags,
+                                             init_distributed,
                                              make_hybrid_mesh, global_batch,
                                              sync_hosts)
+    # collective-overlap XLA flags: enabled by default ONLY once the
+    # one-time on-backend probe recorded ACCEPTED (unknown flags abort
+    # some XLA clients — a pod launcher must not find that out live).
+    # Run scripts/overlap_probe.py once per backend image to refresh.
+    probe = os.path.join(REPO, "evidence", "overlap_probe.json")
+    try:
+        with open(probe) as f:
+            if json.load(f).get("status") == "ACCEPTED":
+                enable_overlap_flags()
+    except FileNotFoundError:
+        pass
     init_distributed()
     import jax
     import jax.numpy as jnp

@@ -104,8 +104,10 @@ def enable_overlap_flags() -> bool:
     changes nothing) if the backend is already initialized or a
     non-TPU platform is pinned.
     """
-    platforms = os.environ.get("JAX_PLATFORMS", "")
-    if platforms and "tpu" not in platforms.lower():
+    platforms = os.environ.get("JAX_PLATFORMS", "").lower()
+    # 'axon' is this environment's TPU-tunnel PJRT plugin (its devices
+    # report platform 'tpu'); unpinned means TPU autodetect may win
+    if platforms and "tpu" not in platforms and "axon" not in platforms:
         return False
     import jax._src.xla_bridge as xb
     if getattr(xb, "_backends", None):

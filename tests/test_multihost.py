@@ -19,6 +19,8 @@ from hugs_tpu.parallel.multihost import make_hybrid_mesh, global_batch
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+pytestmark = pytest.mark.slow  # 8-device shard_map compiles dominate suite time
+
 
 def test_hybrid_mesh_single_process():
     mesh = make_hybrid_mesh(n_tile=4)
@@ -120,8 +122,6 @@ for f in OVERLAP_XLA_FLAGS:
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
 import jax
-
-pytestmark = pytest.mark.slow  # 8-device shard_map compiles dominate suite time
 jax.devices()
 del os.environ["JAX_PLATFORMS"]
 assert enable_overlap_flags() is False

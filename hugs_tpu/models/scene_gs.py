@@ -108,6 +108,43 @@ def create_from_pcd(points: jnp.ndarray, colors: jnp.ndarray, capacity: int,
     )
 
 
+def create_from_ply(path: str, capacity: int | None = None,
+                    max_sh_degree: int = 3) -> SceneGS:
+    """Load a trained 3DGS-format PLY into a SceneGS (reference
+    load_ply, scene.py:267-308 — the 3DGS-ecosystem import path used to
+    eval pretrained scenes). The PLY stores RAW parameters (log scales,
+    logit opacities, unnormalized quats), so rows drop straight into
+    the param slots; SH degree starts at max (the file carries trained
+    rest coefficients). capacity defaults to the next pow2 >= N."""
+    import numpy as np
+    from hugs_tpu.utils.ply import load_gaussian_ply
+    raw = load_gaussian_ply(path, max_sh_degree=max_sh_degree)
+    n = raw["xyz"].shape[0]
+    cap = int(capacity) if capacity else max(
+        128, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    if n > cap:
+        raise ValueError(f"PLY has {n} gaussians > capacity {cap}")
+
+    def pad(x, fill=0.0):
+        widths = [(0, cap - n)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(jnp.asarray(x, jnp.float32), widths,
+                       constant_values=fill)
+
+    return SceneGS(
+        xyz=pad(raw["xyz"]),
+        features_dc=pad(raw["features_dc"]),
+        features_rest=pad(raw["features_rest"]),
+        scaling=pad(raw["scaling"], fill=-10.0),
+        rotation=pad(raw["rotation"]).at[n:, 0].set(1.0),
+        opacity=pad(raw["opacity"], fill=-10.0),
+        alive=jnp.arange(cap) < n,
+        max_radii2d=jnp.zeros(cap),
+        xyz_gradient_accum=jnp.zeros(cap),
+        denom=jnp.zeros(cap),
+        active_sh_degree=jnp.int32(max_sh_degree),
+    )
+
+
 def scene_forward(gs: SceneGS, only_rgb: bool = False) -> dict:
     """Activate parameters into the flat attribute dict the renderer takes
     (reference forward, scene.py:147-160) + the alive capacity mask.

@@ -12,6 +12,8 @@ _EXPORTS = {
     "render_tile_sharded": "hugs_tpu.parallel.shard",
     "batch_render_sharded": "hugs_tpu.parallel.shard",
     "render_gauss_sharded": "hugs_tpu.parallel.gauss_shard",
+    "make_gauss_scene_train_step": "hugs_tpu.parallel.gauss_train",
+    "shard_scene_state": "hugs_tpu.parallel.gauss_train",
     "init_distributed": "hugs_tpu.parallel.multihost",
     "make_hybrid_mesh": "hugs_tpu.parallel.multihost",
     "global_batch": "hugs_tpu.parallel.multihost",

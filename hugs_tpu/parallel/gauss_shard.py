@@ -63,6 +63,7 @@ def render_gauss_sharded(
     tile: int = TILE,
     axis: str = "gauss",
     backend: str = "tiled",
+    mean2d_grad_hook=None,
 ):
     """Differentiable Gaussian-sharded render.
 
@@ -74,12 +75,18 @@ def render_gauss_sharded(
         binning (default 4 * N/D).
       frag_cap: static per-(sender, band) fragment packet capacity
         (default local_budget — always safe; tighten to cut exchange
-        volume and memory, overflow is reported in aux).
+        volume and memory, overflow is reported in aux; measured sizing
+        in evidence/gauss_frag_sizing.json).
+      mean2d_grad_hook: optional zeros (N, 2) — added to each shard's
+        projected mean2d so d(loss)/d(hook) yields the per-Gaussian
+        viewspace gradient the densifier wants (same functional hook as
+        render(); enables gauss-sharded TRAINING, parallel/gauss_train).
 
     Returns:
       dict with "render" (3, H, W), "overflowed" (bool: any local budget,
       packet, or tile_cap overflow), "frag_counts" (D, D) int32 — row d =
-      instances chip d sent to each band (the load-balance skew matrix).
+      instances chip d sent to each band (the load-balance skew matrix),
+      "radii"/"visibility_filter" (N,) per-Gaussian densify stats.
     """
     if bg is None:
         bg = jnp.zeros(3, jnp.float32)
@@ -96,12 +103,16 @@ def render_gauss_sharded(
     cap = frag_cap or budget
     if alive is None:
         alive = jnp.ones(n, bool)
+    if mean2d_grad_hook is None:
+        mean2d_grad_hook = jnp.zeros((n, 2))
     active_sh_degree = jnp.asarray(active_sh_degree)
 
-    def worker(m, s, q, o, c, alive, camera, bg, deg):
+    def worker(m, s, q, o, c, alive, hook, camera, bg, deg):
         d = jax.lax.axis_index(axis)
         pg = project_gaussians(m, s, q, o, c, camera, width, height, deg,
                                scaling_modifier, alive=alive)
+        from hugs_tpu.render.project import update_mean2d
+        pg = update_mean2d(pg, hook)
         # align=1: the fragment exchange consumes the dense sorted
         # layout (and re-aligns merged fragments itself for the Pallas
         # backend below), so per-shard budgets carry no padding waste
@@ -237,17 +248,21 @@ def render_gauss_sharded(
         overflow = jax.lax.psum(
             (bins.overflowed | send_overflow | cap_over).astype(jnp.int32),
             axis) > 0
-        return img, sent_counts[None], overflow
+        return (img, sent_counts[None], overflow, pg.radius,
+                pg.mask & (pg.radius > 0))
 
     rep = P()
-    img, frag_counts, overflow = shard_map(
+    img, frag_counts, overflow, radii, vis = shard_map(
         worker, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  rep, rep, rep),
-        out_specs=(P(None, axis, None), P(axis, None), rep),
+                  P(axis), rep, rep, rep),
+        out_specs=(P(None, axis, None), P(axis, None), rep, P(axis),
+                   P(axis)),
         check_vma=False,
-    )(means3d, scales, rotq, opacity, shs, alive, camera, bg,
-      active_sh_degree)
+    )(means3d, scales, rotq, opacity, shs, alive, mean2d_grad_hook,
+      camera, bg, active_sh_degree)
     return {"render": img[:, :height, :],
             "overflowed": overflow,
-            "frag_counts": frag_counts}
+            "frag_counts": frag_counts,
+            "radii": radii,
+            "visibility_filter": vis}

@@ -65,9 +65,6 @@ def render(
     if bg is None:
         bg = jnp.zeros(3, jnp.float32)
     if gauss_mesh is not None:
-        if mean2d_grad_hook is not None:
-            raise ValueError("gauss-sharded rendering is a serving path: "
-                             "densification hooks are not supported")
         from hugs_tpu.parallel.gauss_shard import render_gauss_sharded
         ndev = gauss_mesh.shape["gauss"]
         local_budget = (max(instance_budget // ndev, 1 << 12)
@@ -79,17 +76,11 @@ def render(
             local_budget=local_budget, frag_cap=gauss_frag_cap,
             tile_cap=tile_cap,
             tile=tile or (32 if backend == "pallas" else TILE),
-            backend=backend)
-        # radii/visibility for the pkg contract (human/scene slice
-        # bookkeeping): one replicated projection — cheap next to the
-        # sharded blend, and identical to what each shard computed
-        pg = project_gaussians(means3d, scales, rotq, opacity, shs,
-                               camera, width, height, active_sh_degree,
-                               scaling_modifier, alive=alive)
+            backend=backend, mean2d_grad_hook=mean2d_grad_hook)
         return {
             "render": out["render"],
-            "radii": pg.radius,
-            "visibility_filter": pg.mask & (pg.radius > 0),
+            "radii": out["radii"],
+            "visibility_filter": out["visibility_filter"],
             "overflowed": out["overflowed"],
             "n_instances": jnp.int32(0),
             "n_slots": jnp.int32(0),

@@ -308,3 +308,43 @@ def test_clean_pcd_statistical_outlier_removal(neuman_root):
     cleaned = NeumanDataset(neuman_root, "lab", "train", clean_pcd=True)
     assert cleaned.init_pcd[0].shape[0] <= base.init_pcd[0].shape[0]
     assert cleaned.init_pcd[0].shape[0] > 0
+
+
+def test_scene_from_ply_roundtrip(tmp_path):
+    """3DGS-ecosystem import (reference scene.py:267-308): a SceneGS
+    exported with save_gaussian_ply reloads via create_from_ply and
+    renders identically to the original."""
+    import jax
+    import jax.numpy as jnp
+    from hugs_tpu.models import scene_gs as sgs
+    from hugs_tpu.render import render, make_camera
+
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(-1, 1, (96, 3)).astype(np.float32)
+    pts[:, 2] += 4.0
+    gs = sgs.create_from_pcd(jnp.asarray(pts),
+                             jnp.asarray(rng.rand(96, 3), jnp.float32),
+                             capacity=128)
+    gs = gs._replace(active_sh_degree=jnp.int32(3))
+    alive = np.asarray(gs.alive)
+    p = str(tmp_path / "scene.ply")
+    save_gaussian_ply(p, np.asarray(gs.xyz)[alive],
+                      np.asarray(gs.features_dc)[alive],
+                      np.asarray(gs.features_rest)[alive],
+                      np.asarray(gs.opacity)[alive],
+                      np.asarray(gs.scaling)[alive],
+                      np.asarray(gs.rotation)[alive])
+
+    gs2 = sgs.create_from_ply(p)
+    assert int(np.sum(np.asarray(gs2.alive))) == 96
+
+    cam = make_camera(jnp.eye(3), jnp.zeros(3), 0.9, 0.7)
+
+    def img_of(g):
+        o = sgs.scene_forward(g)
+        return render(o["xyz"], o["scales"], o["rotq"], o["opacity"],
+                      o["shs"], cam, 64, 48, active_sh_degree=3,
+                      alive=o["alive"], instance_budget=4096)["render"]
+
+    np.testing.assert_allclose(np.asarray(img_of(gs)),
+                               np.asarray(img_of(gs2)), atol=1e-6)

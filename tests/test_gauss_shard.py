@@ -151,3 +151,51 @@ def test_trainer_flag_routes_gauss_shard(tmp_path_factory):
     assert "frag_counts" in pkg and pkg["frag_counts"].shape == (8, 8)
     np.testing.assert_allclose(np.asarray(pkg["render"]), ref, atol=2e-5)
     cfg.tpu.gauss_shard = 0
+
+
+def test_gauss_sharded_train_step_parity():
+    """Gaussian-sharded scene TRAINING (VERDICT r4 item 4b): the
+    fragment-exchange train step's loss trajectory and densify stats
+    match the single-device scene_train_step to fp tolerance."""
+    from hugs_tpu.cfg import default_config
+    from hugs_tpu.models import scene_gs as sgs
+    from hugs_tpu.parallel.gauss_train import (make_gauss_scene_train_step,
+                                               shard_scene_state)
+    from hugs_tpu.train.scene_step import (init_scene_train_state,
+                                           make_scene_lrs,
+                                           scene_train_step)
+
+    rng = np.random.RandomState(5)
+    pts = rng.uniform(-1.5, 1.5, (128, 3)).astype(np.float32)
+    pts[:, 2] = np.abs(pts[:, 2]) + 3.0
+    gs = sgs.create_from_pcd(jnp.asarray(pts),
+                             jnp.asarray(rng.rand(128, 3), np.float32),
+                             capacity=256)
+    state_1 = init_scene_train_state(gs)
+    mesh = make_mesh(axis_names=("gauss",))
+    state_sh = shard_scene_state(init_scene_train_state(gs), mesh)
+
+    cam = make_scene(n=8)[5]
+    target = jax.random.uniform(jax.random.PRNGKey(2), (3, H, W))
+    bg = jnp.array([0.2, 0.1, 0.3])
+    static, sched = make_scene_lrs(default_config().scene.lr, 2.0)
+    sh_step = make_gauss_scene_train_step(
+        mesh, width=W, height=H, local_budget=1024, tile_cap=256)
+
+    for it in range(4):
+        lr = jnp.float32(sched(it))
+        state_sh, aux_sh = sh_step(state_sh, cam, target, bg, lr, static)
+        state_1, aux_1 = scene_train_step(
+            state_1, cam, target, bg, lr, static, width=W, height=H,
+            instance_budget=8192, tile_cap=256)
+        np.testing.assert_allclose(float(aux_sh["loss"]),
+                                   float(aux_1["loss"]),
+                                   rtol=2e-4, atol=1e-6)
+    # densification stats (viewspace |grad| accum + denom) agree
+    np.testing.assert_allclose(
+        np.asarray(state_sh.gs.xyz_gradient_accum),
+        np.asarray(state_1.gs.xyz_gradient_accum), rtol=5e-3, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(state_sh.gs.denom),
+                                  np.asarray(state_1.gs.denom))
+    assert not bool(aux_sh["overflowed"])
+    assert np.asarray(aux_sh["frag_counts"]).shape == (8, 8)

@@ -184,6 +184,26 @@ class GaussianTrainer:
 
     # ------------------------------------------------------------- utils
 
+    def _get_gauss_scene_step(self, W, H, gshard):
+        """Cached Gaussian-sharded scene train step (scene mode with
+        cfg.tpu.gauss_shard > 0). Shards the train state to the owner
+        chips on first build."""
+        key = ("gstep", W, H, gshard, self._ibudget)
+        if getattr(self, "_gauss_step_key", None) != key:
+            from hugs_tpu.parallel.gauss_train import (
+                make_gauss_scene_train_step, shard_scene_state)
+            cfg, t = self.cfg, self.cfg.tpu
+            mesh = self._get_gauss_mesh(gshard)
+            self.scene = shard_scene_state(self.scene, mesh)
+            self._gauss_step = make_gauss_scene_train_step(
+                mesh, width=W, height=H,
+                l1_w=cfg.scene.loss.l1_w, ssim_w=cfg.scene.loss.ssim_w,
+                local_budget=max(self._ibudget // gshard, 1 << 12),
+                frag_cap=int(t.get("gauss_frag_cap", 0) or 0) or None,
+                tile_cap=int(t.tile_cap), backend=t.render_backend)
+            self._gauss_step_key = key
+        return self._gauss_step
+
     def _get_gauss_mesh(self, n):
         """1-D ('gauss',) mesh over the first n devices, built once."""
         if getattr(self, "_gauss_mesh", None) is None \
@@ -372,12 +392,28 @@ class GaussianTrainer:
             mode = "human"
 
         if mode == "scene":
-            self.scene, aux = scene_train_step(
-                self.scene, camera, gt, bg,
-                jnp.float32(self.s_xyz_sched(t_iter)), self.s_static_lrs,
-                width=W, height=H,
-                l1_w=cfg.scene.loss.l1_w, ssim_w=cfg.scene.loss.ssim_w,
-                **self._render_kw())
+            gshard = int(cfg.tpu.get("gauss_shard", 0) or 0)
+            if gshard:
+                # Gaussian-sharded scene training (parallel/gauss_train):
+                # the capacity's rows are sharded over gshard chips with
+                # one fragment all_to_all per step — for scene clouds
+                # too large to replicate. Budget auto-grow doesn't apply
+                # (per-chip local budget = instance_budget / gshard;
+                # overflow is surfaced in aux and warned on sync steps).
+                step = self._get_gauss_scene_step(W, H, gshard)
+                self.scene, aux = step(
+                    self.scene, camera, gt, bg,
+                    jnp.float32(self.s_xyz_sched(t_iter)),
+                    self.s_static_lrs)
+            else:
+                self.scene, aux = scene_train_step(
+                    self.scene, camera, gt, bg,
+                    jnp.float32(self.s_xyz_sched(t_iter)),
+                    self.s_static_lrs,
+                    width=W, height=H,
+                    l1_w=cfg.scene.loss.l1_w,
+                    ssim_w=cfg.scene.loss.ssim_w,
+                    **self._render_kw())
             self._maybe_densify_scene(t_iter)
         elif mode == "human":
             self.human, aux = human_train_step(

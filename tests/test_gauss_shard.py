@@ -199,3 +199,32 @@ def test_gauss_sharded_train_step_parity():
                                   np.asarray(state_1.gs.denom))
     assert not bool(aux_sh["overflowed"])
     assert np.asarray(aux_sh["frag_counts"]).shape == (8, 8)
+
+
+def test_trainer_scene_mode_gauss_sharded_training(tmp_path_factory):
+    """cfg.tpu.gauss_shard in scene mode trains through the Gaussian-
+    sharded step (user-facing route to parallel/gauss_train): loss
+    finite and decreasing, scene params move."""
+    from hugs_tpu.cfg import default_config
+    from hugs_tpu.data import NeumanDataset
+    from hugs_tpu.train.trainer import GaussianTrainer
+    from tests.test_data import write_fake_neuman
+
+    root = str(tmp_path_factory.mktemp("neuman"))
+    write_fake_neuman(root, n_frames=8, w=48, h=32)
+    cfg = default_config()
+    cfg.mode = "scene"
+    cfg.train.num_steps = 21   # loss logged every 10th step
+    cfg.train.val_interval = 10_000
+    cfg.scene.densify_from_iter = 10_000     # pure optimization steps
+    cfg.tpu.scene_capacity = 256             # divides by 8
+    cfg.tpu.instance_budget = 1 << 15
+    cfg.tpu.gauss_shard = 8
+    cfg.logdir = cfg.logdir_ckpt = ""
+    train_ds = NeumanDataset(root, "lab", "train", render_mode=cfg.mode)
+    trainer = GaussianTrainer(cfg, train_ds, None, None)
+    xyz0 = np.asarray(trainer.scene.gs.xyz).copy()
+    log = trainer.train()
+    losses = [e["loss"] for e in log]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    assert np.abs(np.asarray(trainer.scene.gs.xyz) - xyz0).max() > 0

@@ -98,3 +98,68 @@ class LPIPS(NamedTuple):
             w = self.lin_weights[t][None, :, None, None]
             total = total + jnp.mean(jnp.sum(d * w, axis=1), axis=(1, 2))
         return total
+
+    def _masked_features(self, img, h, w):
+        """Backbone features of the (h, w)-crop sitting at the ORIGIN of
+        a static (H, W) canvas, EXACTLY as if the network ran on the
+        dynamic (h, w) array alone: after every conv the canvas beyond
+        the crop's current extent is re-zeroed (a conv bias makes the
+        zero region nonzero, which would leak back across the crop edge
+        at the next conv — the reference's 'same' padding contributes
+        true zeros there), and the extent follows VALID stride-2
+        pooling (h -> floor(h/2)). Returns [(tap, h_t, w_t), ...]."""
+        x = img * 2.0 - 1.0
+        x = (x - jnp.asarray(_SHIFT)[None, :, None, None]) \
+            / jnp.asarray(_SCALE)[None, :, None, None]
+        h = jnp.asarray(h, jnp.int32)
+        w = jnp.asarray(w, jnp.int32)
+        taps = []
+        ci = 0
+        for b, (cout, n) in enumerate(_VGG_BLOCKS):
+            if b > 0:
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, 1, 2, 2), (1, 1, 2, 2),
+                    "VALID")
+                h, w = h // 2, w // 2
+            rows = jnp.arange(x.shape[2])[None, None, :, None] < h
+            cols = jnp.arange(x.shape[3])[None, None, None, :] < w
+            valid = rows & cols
+            # an odd-extent pool writes max(crop_row, 0) into the row
+            # just past the new extent — zero it before the convs read
+            # it (the reference's crop simply has no such row)
+            x = jnp.where(valid, x, 0.0)
+            for _ in range(n):
+                wgt, bia = self.conv_weights[ci], self.conv_biases[ci]
+                x = jax.lax.conv_general_dilated(
+                    x, wgt, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NCHW", "HWIO", "NCHW"))
+                x = jnp.where(valid,
+                              jax.nn.relu(x + bia[None, :, None, None]),
+                              0.0)
+                ci += 1
+            taps.append((x, h, w))
+        return taps
+
+    def crop_call(self, img1, img2, h, w) -> jnp.ndarray:
+        """EXACT LPIPS of the dynamic (h, w)-crops at the origin of
+        static (N, 3, H, W) canvases — equals __call__ on the cropped
+        arrays, with one XLA compile per CANVAS shape instead of one
+        per bbox (the reference crops dynamically,
+        gs_trainer.py:513-521; a fresh compile per val frame here).
+        Spatial means run over each tap's valid extent only."""
+        if img1.ndim == 3:
+            img1, img2 = img1[None], img2[None]
+        f1 = self._masked_features(img1, h, w)
+        f2 = self._masked_features(img2, h, w)
+        total = 0.0
+        for t, ((a, ht, wt), (b, _, _)) in enumerate(zip(f1, f2)):
+            na = a / jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True) + 1e-10)
+            nb = b / jnp.sqrt(jnp.sum(b * b, axis=1, keepdims=True) + 1e-10)
+            # invalid positions: both features are exactly 0 -> d = 0,
+            # so a plain sum / (ht*wt) is the crop's spatial mean
+            d = (na - nb) ** 2
+            wgt = self.lin_weights[t][None, :, None, None]
+            s = jnp.sum(jnp.sum(d * wgt, axis=1), axis=(1, 2))
+            total = total + s / jnp.maximum(
+                (ht * wt).astype(jnp.float32), 1.0)
+        return total

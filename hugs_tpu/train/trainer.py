@@ -829,10 +829,13 @@ class GaussianTrainer:
         compile per bucket pair), zero both images outside the true
         bbox, and compute count-normalized metrics. PSNR and SSIM are
         EXACT (zero padding contributes nothing / matches the
-        reference's own zero-padded 'same' conv); LPIPS is computed on
-        the zeroed bucket with the spatial mean rescaled to the true
-        area — approximate at the pad boundary, documented (and already
-        `_uncalibrated` without pretrained weights)."""
+        reference's own zero-padded 'same' conv); LPIPS is EXACT too:
+        the crop is rolled to the bucket origin and run through
+        LPIPS.crop_call, which re-zeroes the canvas beyond the crop's
+        extent after every conv (conv biases would otherwise leak
+        nonzero values back across the crop edge) and takes valid-
+        extent spatial means — equal to LPIPS on the dynamic crop
+        (tests/test_lpips.py::test_crop_call_exact)."""
         H, W = img.shape[1], img.shape[2]
         bh = min(-(-h // 64) * 64, H)
         bw = min(-(-w // 64) * 64, W)
@@ -856,8 +859,12 @@ class GaussianTrainer:
                 p = 20.0 * jnp.log10(
                     1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
                 s = ssim_masked(a, b, valid, n_valid)
-                lpv = lp(jnp.clip(a, max=1.0)[None], b[None])[0] \
-                    * (bh * bw) / n_valid
+                # roll the crop to the bucket origin (crop_call needs
+                # it there to track pooling-grid extents exactly)
+                a0 = jnp.roll(a, (-(x0 - xs), -(y0 - ys)), axis=(1, 2))
+                b0 = jnp.roll(b, (-(x0 - xs), -(y0 - ys)), axis=(1, 2))
+                lpv = lp.crop_call(jnp.clip(a0, max=1.0)[None],
+                                   b0[None], h, w)[0]
                 return p, s, lpv
             self._crop_metric_cache[key] = fn
         return fn(img, gt, jnp.int32(x0), jnp.int32(y0), jnp.int32(h),

@@ -53,3 +53,21 @@ def test_npz_roundtrip(tmp_path):
 def test_fallback_not_pretrained():
     lp = LPIPS.create(None)
     assert not lp.has_pretrained
+
+
+def test_crop_call_exact():
+    """crop_call on a static canvas == __call__ on the dynamic crop —
+    exactly (to fp), including odd extents that exercise the VALID
+    stride-2 pooling floor and conv-bias edge leakage."""
+    lp = LPIPS.create(None)
+    rng = np.random.RandomState(9)
+    for h, w in ((75, 53), (64, 64), (37, 101)):
+        a = np.zeros((1, 3, 128, 128), np.float32)
+        b = np.zeros((1, 3, 128, 128), np.float32)
+        a[:, :, :h, :w] = rng.rand(1, 3, h, w)
+        b[:, :, :h, :w] = rng.rand(1, 3, h, w)
+        ref = float(lp(jnp.asarray(a[:, :, :h, :w]),
+                       jnp.asarray(b[:, :, :h, :w]))[0])
+        got = float(lp.crop_call(jnp.asarray(a), jnp.asarray(b),
+                                 jnp.int32(h), jnp.int32(w))[0])
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-7)

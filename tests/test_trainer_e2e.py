@@ -148,7 +148,8 @@ def test_progress_images_and_video(env):
 def test_bucketed_crop_metrics_match_dynamic_crop(env):
     """_human_crop_metrics (static bucketed shapes, one compile per
     bucket) must equal the reference's dynamic crop metrics exactly for
-    PSNR and SSIM (gs_trainer.py:513-521 semantics)."""
+    PSNR, SSIM, and (round 5) LPIPS (gs_trainer.py:513-521
+    semantics)."""
     import jax.numpy as jnp
     from hugs_tpu.losses import psnr, ssim
 
@@ -160,13 +161,24 @@ def test_bucketed_crop_metrics_match_dynamic_crop(env):
     gt = jnp.asarray(rng.rand(3, H, W).astype(np.float32))
     for (x0, y0, h, w) in [(10, 20, 37, 51), (0, 0, 96, 128),
                            (60, 90, 36, 38), (5, 5, 9, 9)]:
-        p, s, _ = trainer._human_crop_metrics(img, gt, x0, y0, h, w)
+        p, s, lpv = trainer._human_crop_metrics(img, gt, x0, y0, h, w)
         crop = img[:, x0:x0 + h, y0:y0 + w]
         gcrop = gt[:, x0:x0 + h, y0:y0 + w]
         np.testing.assert_allclose(float(p), float(psnr(crop, gcrop)),
                                    rtol=1e-5)
         np.testing.assert_allclose(float(s), float(ssim(crop, gcrop)),
                                    rtol=1e-5, atol=1e-6)
+        if min(h, w) >= 16:
+            # LPIPS exact vs the dynamic crop; below 16 px VALID
+            # pooling floors a tap to zero extent, where the dynamic
+            # reference network NaNs (torch lpips breaks there too) —
+            # crop_call instead contributes 0 for the dead tap
+            np.testing.assert_allclose(
+                float(lpv),
+                float(trainer.lpips(crop[None], gcrop[None])[0]),
+                rtol=2e-4, atol=1e-7)
+        else:
+            assert np.isfinite(float(lpv))
 
 
 def test_evaluate_cli_flow(env, tmp_path, monkeypatch):

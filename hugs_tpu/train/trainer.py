@@ -1207,12 +1207,20 @@ class GaussianTrainer:
             raise RuntimeError(
                 "compact_for_eval rebuilds optimizer state and must not "
                 "run mid-training (set cfg.eval)")
+        # fine-grained (2k/4k) buckets, not pow2: projection/LBS/binning
+        # pay every row per frame and a pow2 bucket wastes up to 2x rows
+        # (measured +6% serving FPS on the r5 flagship ckpt, 89.9->95.5,
+        # evidence/fps_trained_tpu.json)
         if self.human is not None:
+            n_h = int(jnp.sum(self.human.state.alive))
             params, state, _ = hgs.compact_for_inference(
-                self.human.params, self.human.state, {})
+                self.human.params, self.human.state, {},
+                bucket=-(-max(n_h, 1) // 2048) * 2048)
             self.human = init_human_train_state(params, state)
         if self.scene is not None:
-            self.scene = init_scene_train_state(sgs.compact(self.scene.gs))
+            n_s = int(jnp.sum(self.scene.gs.alive))
+            self.scene = init_scene_train_state(sgs.compact(
+                self.scene.gs, bucket=-(-max(n_s, 1) // 4096) * 4096))
 
     def rehearse_budget(self, frames=None, probe_cap=1 << 18):
         """Eval-only: right-size the instance budget from measured

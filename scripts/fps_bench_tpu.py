@@ -104,9 +104,16 @@ def main():
         # alive gaussians to 262k rows — projection/LBS/binning all pay
         # those rows per frame)
         canon_out = hgs.canon_forward(params, state, cfg)
+        # fine-grained (2k/4k) buckets instead of pow2: projection, LBS
+        # and binning pay every ROW per frame, and a pow2 bucket wastes
+        # up to 2x rows (the r5 flagship: 37,689 scene gaussians in a
+        # 65,536 bucket = 42% phantom rows)
+        n_h = int(jnp.sum(state.alive))
         params, state, canon_out = hgs.compact_for_inference(
-            params, state, canon_out)
-        gs_c = sgs.compact(trainer.scene.gs)
+            params, state, canon_out, bucket=-(-max(n_h, 1) // 2048) * 2048)
+        n_s = int(jnp.sum(trainer.scene.gs.alive))
+        gs_c = sgs.compact(trainer.scene.gs,
+                           bucket=-(-max(n_s, 1) // 4096) * 4096)
         s_out = sgs.scene_forward(gs_c)
         n_scene = int(jnp.sum(gs_c.alive))
         workload_tag = (f"TRAINED flagship ckpt ({CKPT}): {n_human} human"

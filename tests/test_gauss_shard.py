@@ -228,3 +228,35 @@ def test_trainer_scene_mode_gauss_sharded_training(tmp_path_factory):
     losses = [e["loss"] for e in log]
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
     assert np.abs(np.asarray(trainer.scene.gs.xyz) - xyz0).max() > 0
+
+
+def test_trainer_gauss_sharded_training_with_densify(tmp_path_factory):
+    """Scene-mode gauss-sharded training with DENSIFICATION firing:
+    scene_densify_step runs on the owner-sharded state (masked scatters
+    across the full capacity under jit) and training continues at the
+    changed population."""
+    from hugs_tpu.cfg import default_config
+    from hugs_tpu.data import NeumanDataset
+    from hugs_tpu.train.trainer import GaussianTrainer
+    from tests.test_data import write_fake_neuman
+
+    root = str(tmp_path_factory.mktemp("neuman"))
+    write_fake_neuman(root, n_frames=8, w=48, h=32)
+    cfg = default_config()
+    cfg.mode = "scene"
+    cfg.train.num_steps = 11
+    cfg.train.val_interval = 10_000
+    cfg.scene.densify_from_iter = 2
+    cfg.scene.densification_interval = 4
+    cfg.scene.densify_grad_threshold = 1e-7   # force clones/splits
+    cfg.tpu.scene_capacity = 256
+    cfg.tpu.instance_budget = 1 << 15
+    cfg.tpu.gauss_shard = 8
+    cfg.logdir = cfg.logdir_ckpt = ""
+    train_ds = NeumanDataset(root, "lab", "train", render_mode=cfg.mode)
+    trainer = GaussianTrainer(cfg, train_ds, None, None)
+    n0 = int(np.sum(np.asarray(trainer.scene.gs.alive)))
+    log = trainer.train()
+    assert np.isfinite([e["loss"] for e in log]).all()
+    n1 = int(np.sum(np.asarray(trainer.scene.gs.alive)))
+    assert n1 != n0     # densify/prune actually changed the population
